@@ -1,0 +1,224 @@
+"""Rule-based field extraction: policy segmentation + claims spotting.
+
+Deterministic replacements for the reference's GPT-4o stages
+(SURVEY.md §2.12). The specs are the reference's own prompts/fallbacks:
+
+- Policy-boundary detection: spot ``Policy Number / Policy # / Pol #``
+  headers, value possibly on the NEXT line; locate by char index; sort;
+  dedup by index; split into [start_i, start_{i+1}) slices with an
+  "Initial Section" pre-chunk (reference backend/chunked_extractor.py:15-122).
+- Claims extraction: parse ``[TABLE n]`` blocks emitted by the tokenize
+  stage, map header labels to canonical fields via an alias table
+  (reference backend/config.py:49-58), emit one raw-string claim dict per
+  data row. Line-grain regex spotting is the fallback for OCR/plain-text
+  documents.
+
+All values stay RAW STRINGS here; typing/normalization (C1-C9) happens as
+native Spark column expressions in the finalize stage, where Catalyst and
+whole-stage codegen handle them.
+"""
+
+from __future__ import annotations
+
+import re
+
+# label → canonical field (superset of reference backend/config.py:49-58)
+FIELD_ALIASES: dict[str, str] = {}
+for canon, labels in {
+    "claim_number": ["claim number", "claim #", "claim id", "claim no",
+                     "file number", "file #", "case #"],
+    "employee_name": ["employee name", "claimant", "name", "worker name"],
+    "status": ["status", "claim status", "current status"],
+    "injury_date_time": ["date of injury", "doi", "injury date",
+                         "accident date", "date of loss"],
+    "injury_type": ["injury type", "nature of injury", "type of injury",
+                    "nature"],
+    "body_part": ["body part", "part of body", "body part affected",
+                  "injured body part"],
+    "claim_class": ["class", "claim class", "classification"],
+    "injury_description": ["description", "injury description", "details",
+                           "accident description"],
+    "medical_paid": ["medical paid", "med paid", "paid medical"],
+    "medical_reserve": ["medical reserve", "med resv", "med reserve",
+                        "est. medical", "estimated medical"],
+    "indemnity_paid": ["ind paid", "indemnity paid", "paid compensation",
+                       "paid comp"],
+    "indemnity_reserve": ["ind resv", "indemnity reserve", "est. comp",
+                          "estimated compensation"],
+    "expense_paid": ["expense paid", "exp paid"],
+    "expense_reserve": ["expense reserve", "exp resv"],
+    "recovery": ["recovery", "subro", "subrogation"],
+    "deductible": ["deductible", "ded"],
+    "total_incurred": ["total incurred", "total", "total paid", "incurred"],
+}.items():
+    for lab in labels:
+        FIELD_ALIASES[lab] = canon
+
+CLAIM_FIELDS = ["claim_number", "employee_name", "status", "injury_date_time",
+                "injury_type", "body_part", "claim_class",
+                "injury_description", "medical_paid", "medical_reserve",
+                "indemnity_paid", "indemnity_reserve", "expense_paid",
+                "expense_reserve", "recovery", "deductible", "total_incurred"]
+
+POLICY_HEADER_RE = re.compile(
+    r"(?:Policy\s*(?:Number|#|No\.?)|Pol\s*#)\s*:?[ \t]*([A-Z0-9][A-Z0-9\-]{2,})?",
+    re.IGNORECASE)
+NEXT_LINE_VALUE_RE = re.compile(r"\s*\n[ \t]*([A-Z0-9][A-Z0-9\-]{2,})")
+INSURED_RE = re.compile(r"Insured(?:\s*Name)?\s*:\s*(.+?)\s*$",
+                        re.IGNORECASE | re.MULTILINE)
+REPORT_DATE_RE = re.compile(
+    r"(?:Report\s+produced\s+on|Report\s+Date\s*:?)\s*([0-9/\-]{8,10})",
+    re.IGNORECASE)
+LINE_CLAIM_RE = re.compile(
+    r"Claim(?:\s*Number|#)?\s*[:#]?\s*([A-Z]?\d[A-Z0-9\-]{3,})",
+    re.IGNORECASE)
+LINE_STATUS_RE = re.compile(
+    r"\b(OPEN|CLOSED|REOPENED|REOP|OP|CL)\b", re.IGNORECASE)
+LINE_DATE_RE = re.compile(r"\b(\d{4}-\d{2}-\d{2}|\d{2}/\d{2}/\d{4})\b")
+TABLE_BLOCK_RE = re.compile(
+    r"\[TABLE \d+\]\n-{80}\n(.*?)\n-{80}", re.DOTALL)
+
+
+# --------------------------------------------------------------------------
+# G1 — policy segmentation
+# --------------------------------------------------------------------------
+
+def detect_policy_boundaries(text: str) -> list[dict]:
+    """[{policy_number, start_index}] sorted and index-deduped."""
+    boundaries = []
+    scan = text if len(text) < 100_000 else text[:100_000]
+    for m in POLICY_HEADER_RE.finditer(scan):
+        value = m.group(1)
+        if not value:
+            m2 = NEXT_LINE_VALUE_RE.match(scan, m.end())
+            if m2:
+                value = m2.group(1)
+        if not value:
+            continue
+        boundaries.append({"policy_number": value, "start_index": m.start()})
+    boundaries.sort(key=lambda b: b["start_index"])
+    out, last = [], -1
+    for b in boundaries:
+        if b["start_index"] != last:
+            out.append(b)
+            last = b["start_index"]
+    return out
+
+
+def split_into_chunks(text: str, boundaries: list[dict]) -> list[dict]:
+    """[{policy_number, text, start_index}] per reference
+    backend/chunked_extractor.py:95-122 (incl. the 'Initial Section')."""
+    if not boundaries:
+        return [{"policy_number": "Unknown", "text": text, "start_index": 0}]
+    chunks = []
+    if boundaries[0]["start_index"] > 10:
+        pre = text[:boundaries[0]["start_index"]].strip()
+        if pre:
+            chunks.append({"policy_number": "Initial Section", "text": pre,
+                           "start_index": 0})
+    for i, b in enumerate(boundaries):
+        end = (boundaries[i + 1]["start_index"] if i + 1 < len(boundaries)
+               else len(text))
+        chunks.append({"policy_number": b["policy_number"],
+                       "text": text[b["start_index"]:end].strip(),
+                       "start_index": b["start_index"]})
+    return chunks
+
+
+# --------------------------------------------------------------------------
+# claims spotting
+# --------------------------------------------------------------------------
+
+def parse_ascii_table(block: str) -> list[list[str]]:
+    """Parse a ljust/' | '-joined table back into rows of stripped cells."""
+    rows = []
+    for line in block.split("\n"):
+        if re.fullmatch(r"[-+\s]*", line):
+            continue  # the -+- header rule
+        rows.append([c.strip() for c in line.split(" | ")])
+    return rows
+
+
+def _map_header(cells: list[str]) -> dict[int, str] | None:
+    mapping: dict[int, str] = {}
+    for i, cell in enumerate(cells):
+        canon = FIELD_ALIASES.get(cell.lower().strip().rstrip(":"))
+        if canon and canon not in mapping.values():
+            mapping[i] = canon
+    if "claim_number" not in mapping.values() or len(mapping) < 3:
+        return None
+    return mapping
+
+
+def claims_from_tables(text: str) -> list[dict]:
+    claims = []
+    for m in TABLE_BLOCK_RE.finditer(text):
+        rows = parse_ascii_table(m.group(1))
+        if not rows:
+            continue
+        mapping = _map_header(rows[0])
+        if not mapping:
+            continue
+        for row in rows[1:]:
+            claim = {f: None for f in CLAIM_FIELDS}
+            for i, canon in mapping.items():
+                if i < len(row) and row[i]:
+                    claim[canon] = row[i]
+            if claim["claim_number"]:
+                claims.append(claim)
+    return claims
+
+
+def claims_from_lines(text: str) -> list[dict]:
+    """Fallback spotter for OCR / pre-extracted plain text."""
+    claims = []
+    for line in text.split("\n"):
+        m = LINE_CLAIM_RE.search(line)
+        if not m:
+            continue
+        token = m.group(1)
+        if not re.search(r"\d", token):
+            continue
+        claim = {f: None for f in CLAIM_FIELDS}
+        claim["claim_number"] = token
+        ms = LINE_STATUS_RE.search(line[m.end():])
+        if ms:
+            claim["status"] = ms.group(1)
+        md = LINE_DATE_RE.search(line)
+        if md:
+            claim["injury_date_time"] = md.group(1)
+        claims.append(claim)
+    return claims
+
+
+def extract_claims(chunk_text: str) -> list[dict]:
+    claims = claims_from_tables(chunk_text)
+    if not claims:
+        claims = claims_from_lines(chunk_text)
+    return claims
+
+
+def extract_document_fields(text: str) -> dict:
+    """text → {policy_number(s), insured_name, report_date, claims(raw)}.
+
+    Mirrors the reference lifecycle: segment → per-chunk extraction →
+    merge with distinct-policy join (backend/chunked_extractor.py:276-369).
+    """
+    boundaries = detect_policy_boundaries(text)
+    chunks = split_into_chunks(text, boundaries)
+    claims: list[dict] = []
+    policies: set[str] = set()
+    for ch in chunks:
+        for c in extract_claims(ch["text"]):
+            c["policy_number"] = ch["policy_number"]
+            claims.append(c)
+        if ch["policy_number"] not in ("Unknown", "Initial Section"):
+            policies.add(ch["policy_number"])
+    m = INSURED_RE.search(text)
+    insured = m.group(1).strip() if m else None
+    md = REPORT_DATE_RE.search(text)
+    report_date = md.group(1) if md else None
+    policy_number = ", ".join(sorted(policies)) if policies else None
+    return {"policy_number": policy_number, "insured_name": insured,
+            "report_date": report_date, "num_chunks": len(chunks),
+            "claims": claims}

@@ -1,0 +1,404 @@
+"""Pure-Python PDF reader: objects → pages → positioned text runs + rulings.
+
+Engine-side replacement for the reference's pdfplumber/PyMuPDF/pypdf stack
+(reference backend/pdf_plumber.py, pdf_text.py, pdf_detector.py), built
+from scratch against the public PDF 1.7 spec subset our corpus uses:
+uncompressed content streams, ``Tm/Td/TD/TL/T*`` text positioning,
+``Tj/TJ/'`` show-text, ``m/l/re`` paths. Unknown operators are skipped, so
+mildly foreign PDFs degrade to partial text instead of failing.
+
+Everything here is per-document pure Python executed INSIDE vectorized
+``mapInPandas`` batches — never row-at-a-time Spark UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()]+)")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_WS = b"\x00\t\n\x0c\r "
+
+
+@dataclass
+class TextRun:
+    x: float          # device x (from left)
+    y: float          # device y (from TOP of page)
+    text: str
+    size: float = 10.0
+    vertical: bool = False
+
+    @property
+    def width(self) -> float:
+        if self.vertical:
+            return self.size
+        return len(self.text) * self.size * 0.6
+
+    @property
+    def height(self) -> float:
+        if self.vertical:
+            return len(self.text) * self.size * 0.6
+        return self.size
+
+
+@dataclass
+class Segment:
+    x0: float
+    y0: float  # top-down
+    x1: float
+    y1: float
+
+
+@dataclass
+class PDFPage:
+    number: int
+    width: float
+    height: float
+    rotate: int = 0
+    runs: list[TextRun] = field(default_factory=list)
+    hlines: list[Segment] = field(default_factory=list)
+    vlines: list[Segment] = field(default_factory=list)
+    ocr_text: str | None = None
+    has_image: bool = False
+
+
+class PDFSyntaxError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# object-level parsing
+# --------------------------------------------------------------------------
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i:i + 1]
+        if c in (b"%",):
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c in _WS or c in (b"\r",):
+            i += 1
+        else:
+            break
+    return i
+
+
+def _parse_object(data: bytes, i: int):
+    """Parse one PDF object at offset i → (value, next_offset)."""
+    i = _skip_ws(data, i)
+    c = data[i:i + 1]
+    if c == b"<" and data[i:i + 2] == b"<<":
+        return _parse_dict(data, i)
+    if c == b"<":
+        j = data.index(b">", i)
+        hexs = re.sub(rb"\s", b"", data[i + 1:j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii")), j + 1
+    if c == b"[":
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(data, i)
+            if data[i:i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_object(data, i)
+            arr.append(v)
+    if c == b"/":
+        m = _NAME_RE.match(data, i)
+        return "/" + m.group(1).decode("latin-1"), m.end()
+    if c == b"(":
+        return _parse_string(data, i)
+    m = _NUM_RE.match(data, i)
+    if m:
+        # might be an indirect reference "n g R"
+        mref = re.match(rb"(\d+)\s+(\d+)\s+R\b", data[i:i + 32])
+        if mref:
+            return ("ref", int(mref.group(1))), i + mref.end()
+        tok = m.group(0)
+        val = float(tok) if b"." in tok else int(tok)
+        return val, m.end()
+    for kw, v in ((b"true", True), (b"false", False), (b"null", None)):
+        if data.startswith(kw, i):
+            return v, i + len(kw)
+    raise PDFSyntaxError(f"unparseable object at offset {i}: {data[i:i+20]!r}")
+
+
+def _parse_dict(data: bytes, i: int):
+    assert data[i:i + 2] == b"<<"
+    i += 2
+    d: dict = {}
+    while True:
+        i = _skip_ws(data, i)
+        if data[i:i + 2] == b">>":
+            return d, i + 2
+        if data[i:i + 1] != b"/":
+            raise PDFSyntaxError(f"expected name key at {i}")
+        m = _NAME_RE.match(data, i)
+        key = m.group(1).decode("latin-1")
+        v, i = _parse_object(data, m.end())
+        d[key] = v
+
+
+def _parse_string(data: bytes, i: int):
+    assert data[i:i + 1] == b"("
+    i += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            nxt = data[i + 1]
+            mapping = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                       0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+            if nxt in mapping:
+                out.append(mapping[nxt])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal
+                mo = re.match(rb"\\([0-7]{1,3})", data[i:])
+                out.append(int(mo.group(1), 8) & 0xFF)
+                i += mo.end()
+            else:
+                i += 1  # line continuation / unknown escape
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return out.decode("latin-1"), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise PDFSyntaxError("unterminated string")
+
+
+class PDFDocument:
+    """Whole-file object table + page tree."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise PDFSyntaxError("missing %PDF- header")
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self.streams: dict[int, bytes] = {}
+        self._scan_objects()
+        self.pages = self._build_pages()
+
+    def resolve(self, v):
+        while isinstance(v, tuple) and len(v) == 2 and v[0] == "ref":
+            v = self.objects.get(v[1])
+        return v
+
+    def _scan_objects(self) -> None:
+        data = self.data
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            i = m.end()
+            try:
+                val, j = _parse_object(data, i)
+            except (PDFSyntaxError, ValueError, IndexError):
+                continue
+            self.objects[num] = val
+            j = _skip_ws(data, j)
+            if data.startswith(b"stream", j):
+                k = j + len(b"stream")
+                if data[k:k + 2] == b"\r\n":
+                    k += 2
+                elif data[k:k + 1] == b"\n":
+                    k += 1
+                length = self.resolve(val.get("Length")) if isinstance(val, dict) else None
+                if isinstance(length, (int, float)):
+                    end = k + int(length)
+                else:
+                    end = data.find(b"endstream", k)
+                self.streams[num] = data[k:end]
+
+    def _build_pages(self) -> list[PDFPage]:
+        root = None
+        for v in self.objects.values():
+            if isinstance(v, dict) and v.get("Type") == "/Catalog":
+                root = v
+                break
+        page_dicts: list[dict] = []
+
+        def walk(node) -> None:
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            t = node.get("Type")
+            if t == "/Pages":
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid)
+            elif t == "/Page":
+                page_dicts.append(node)
+
+        if root is not None:
+            walk(root.get("Pages"))
+        if not page_dicts:  # fall back: any /Page objects in file order
+            page_dicts = [v for v in self.objects.values()
+                          if isinstance(v, dict) and v.get("Type") == "/Page"]
+
+        pages = []
+        for idx, pd in enumerate(page_dicts, start=1):
+            box = self.resolve(pd.get("MediaBox")) or [0, 0, 612, 792]
+            width = float(box[2]) - float(box[0])
+            height = float(box[3]) - float(box[1])
+            page = PDFPage(number=idx, width=width, height=height,
+                           rotate=int(self.resolve(pd.get("Rotate")) or 0),
+                           ocr_text=self.resolve(pd.get("GraftOCRText")))
+            res = self.resolve(pd.get("Resources")) or {}
+            if isinstance(res, dict) and res.get("XObject"):
+                page.has_image = True
+            content = pd.get("Contents")
+            streams = []
+            content = self.resolve(content) if not isinstance(content, list) else content
+            if isinstance(content, tuple):
+                content = self.resolve(content)
+            if isinstance(content, list):
+                for c in content:
+                    c = c if isinstance(c, tuple) else c
+                    num = c[1] if isinstance(c, tuple) else None
+                    if num in self.streams:
+                        streams.append(self.streams[num])
+            else:
+                # Contents was a direct ref resolved to a dict; find its stream
+                for num, v in self.objects.items():
+                    if v is content and num in self.streams:
+                        streams.append(self.streams[num])
+                        break
+            if not streams and isinstance(pd.get("Contents"), tuple):
+                num = pd["Contents"][1]
+                if num in self.streams:
+                    streams.append(self.streams[num])
+            _interpret_content(b"\n".join(streams), page)
+            pages.append(page)
+        return pages
+
+
+# --------------------------------------------------------------------------
+# content-stream interpretation
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"      # string
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|/[^\s/<>\[\]()]+"          # name
+    rb"|[+-]?(?:\d+\.?\d*|\.\d+)"  # number
+    rb"|\[|\]"
+    rb"|[A-Za-z'\"*]+"             # operator
+)
+
+
+def _interpret_content(stream: bytes, page: PDFPage) -> None:
+    stack: list = []
+    tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)   # a b c d e f
+    tlm = tm
+    leading = 0.0
+    size = 10.0
+    cur_xy = (0.0, 0.0)
+    H = page.height
+
+    def dev(e: float, f: float) -> tuple[float, float]:
+        return e, H - f  # top-down y
+
+    def show(s: str) -> None:
+        a, b, _c, _d, e, f = tm
+        x, y = dev(e, f)
+        vertical = abs(b) > abs(a)  # rotated glyph run
+        if s:
+            page.runs.append(TextRun(x=x, y=y - (0 if vertical else size),
+                                     text=s, size=size, vertical=vertical))
+
+    i = 0
+    arr_mode: list | None = None
+    for m in _TOKEN_RE.finditer(stream):
+        tok = m.group(0)
+        c0 = tok[:1]
+        if c0 == b"(":
+            val, _ = _parse_string(tok, 0)
+            (arr_mode if arr_mode is not None else stack).append(val)
+        elif c0 == b"<":
+            hexs = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexs) % 2:
+                hexs += b"0"
+            val = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+            (arr_mode if arr_mode is not None else stack).append(val)
+        elif c0 == b"/":
+            stack.append(tok.decode("latin-1"))
+        elif tok == b"[":
+            arr_mode = []
+        elif tok == b"]":
+            stack.append(arr_mode or [])
+            arr_mode = None
+        elif c0.isdigit() or c0 in (b"+", b"-", b"."):
+            val = float(tok)
+            (arr_mode if arr_mode is not None else stack).append(val)
+        else:
+            op = tok.decode("latin-1")
+            try:
+                if op == "Tf" and len(stack) >= 1:
+                    size = float(stack[-1])
+                elif op == "Tm" and len(stack) >= 6:
+                    tm = tlm = tuple(float(v) for v in stack[-6:])
+                elif op in ("Td", "TD") and len(stack) >= 2:
+                    tx, ty = float(stack[-2]), float(stack[-1])
+                    if op == "TD":
+                        leading = -ty
+                    a, b, c, d, e, f = tlm
+                    tlm = (a, b, c, d, e + a * tx + c * ty, f + b * tx + d * ty)
+                    tm = tlm
+                elif op == "TL" and stack:
+                    leading = float(stack[-1])
+                elif op == "T*":
+                    a, b, c, d, e, f = tlm
+                    tlm = (a, b, c, d, e - c * leading, f - d * leading)
+                    tm = tlm
+                elif op == "Tj" and stack and isinstance(stack[-1], str):
+                    show(stack[-1])
+                elif op == "'" and stack and isinstance(stack[-1], str):
+                    a, b, c, d, e, f = tlm
+                    tlm = (a, b, c, d, e - c * leading, f - d * leading)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == "TJ" and stack and isinstance(stack[-1], list):
+                    show("".join(v for v in stack[-1] if isinstance(v, str)))
+                elif op == "BT":
+                    tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+                elif op == "m" and len(stack) >= 2:
+                    cur_xy = (float(stack[-2]), float(stack[-1]))
+                elif op == "l" and len(stack) >= 2:
+                    x0, y0 = dev(*cur_xy)
+                    x1, y1 = dev(float(stack[-2]), float(stack[-1]))
+                    _add_segment(page, x0, y0, x1, y1)
+                    cur_xy = (float(stack[-2]), float(stack[-1]))
+                elif op == "re" and len(stack) >= 4:
+                    x, y, w, h = (float(v) for v in stack[-4:])
+                    x0, y0 = dev(x, y + h)
+                    x1, y1 = dev(x + w, y)
+                    _add_segment(page, x0, y0, x1, y0)
+                    _add_segment(page, x0, y1, x1, y1)
+                    _add_segment(page, x0, y0, x0, y1)
+                    _add_segment(page, x1, y0, x1, y1)
+            except (ValueError, TypeError, IndexError):
+                pass
+            stack.clear()
+        i = m.end()
+
+
+def _add_segment(page: PDFPage, x0: float, y0: float, x1: float, y1: float) -> None:
+    if abs(y1 - y0) <= 0.5:  # horizontal
+        page.hlines.append(Segment(min(x0, x1), y0, max(x0, x1), y0))
+    elif abs(x1 - x0) <= 0.5:
+        page.vlines.append(Segment(x0, min(y0, y1), x0, max(y0, y1)))
+
+
+def open_pdf(data: bytes) -> PDFDocument:
+    return PDFDocument(data)
