@@ -1,0 +1,66 @@
+"""Stage 3+4 — segment + field extraction (G1, §2.9 rule spotting).
+
+A slim ``mapInPandas`` stage for the layout-dependent parts only:
+policy segmentation over char offsets and ASCII-table row parsing
+(both operate on the tokenize stage's text artifact). All values are
+emitted as RAW STRINGS; numeric/typed normalization (C1-C9) runs as
+native column expressions in finalize, where Catalyst owns it.
+
+The relational twins of segmentation (window forward-fill, lead bounds)
+are exposed separately as queries in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .. import fields as FX
+from ..lineage import emit_partition_metrics
+from ..schemas import CLAIM_RAW, FIELDS_OUT
+
+_CLAIM_KEYS = [f.name for f in CLAIM_RAW.fields]
+
+
+def make_fields_fn(run_id: str, metrics_dir: str | None):
+    def fields_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        docs = 0
+        n_bytes = 0
+        fails = 0
+        for pdf in batches:
+            out = pdf.copy()
+            policy, insured, rdate, nchunks, claims = [], [], [], [], []
+            for text in pdf["text"]:
+                docs += 1
+                n_bytes += len(text) if text else 0
+                try:
+                    res = FX.extract_document_fields(text or "")
+                except Exception:
+                    fails += 1
+                    res = {"policy_number": None, "insured_name": None,
+                           "report_date": None, "num_chunks": 0, "claims": []}
+                policy.append(res["policy_number"])
+                insured.append(res["insured_name"])
+                rdate.append(res["report_date"])
+                nchunks.append(res["num_chunks"])
+                claims.append([
+                    {k: c.get(k) for k in _CLAIM_KEYS} for c in res["claims"]
+                ])
+            out["policy_number"] = policy
+            out["insured_name"] = insured
+            out["report_date"] = rdate
+            out["num_chunks"] = pd.array(nchunks, dtype="int32")
+            out["claims_raw"] = claims
+            yield out
+        emit_partition_metrics(metrics_dir, run_id, "fields", docs, n_bytes,
+                               fails, int((time.monotonic() - t0) * 1000))
+    return fields_fn
+
+
+def extract_fields(df, run_id: str, metrics_dir: str | None = None):
+    """TOKENIZED → FIELDS_OUT DataFrame."""
+    return df.mapInPandas(make_fields_fn(run_id, metrics_dir),
+                          schema=FIELDS_OUT)

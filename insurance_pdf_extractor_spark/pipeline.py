@@ -1,0 +1,104 @@
+"""End-to-end extraction pipeline (SURVEY.md §3.1 Spark rebuild).
+
+    scan (url, warc_ts, html, text, lang)
+      → anti-join vs committed output          # resumable re-runs
+      → repartitionByRange(N, xxhash64(url))   # skew kill / size balance
+      → sniff     (native exprs)               # stage 1
+      → tokenize  (mapInPandas)                # stage 2 (+2b html)
+      → fields    (mapInPandas)                # stages 3+4
+      → finalize  (native explode/window/agg)  # stage 5
+      → write docs + claims parquet, lineage rows per (stage, partition)
+
+Exactly one wide dependency (the explicit repartition) before the UDF
+stages; finalize's groupBy/window shuffles hash on url, which AQE is free
+to coalesce. At cluster scale the parquet writes become Iceberg appends —
+the layout (output keyed by url + a metrics side-table) is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import read_metrics
+from .operators.fields_stage import extract_fields
+from .operators.finalize import finalize
+from .operators.sniff import sniff
+from .operators.tokenize import tokenize
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    docs: DataFrame
+    claims: DataFrame
+    metrics: DataFrame | None
+    docs_written: int
+    wall_sec: float
+
+
+def _committed_urls(spark: SparkSession, docs_path: str) -> DataFrame | None:
+    try:
+        if os.path.isdir(docs_path) and any(
+                n.endswith(".parquet") for n in os.listdir(docs_path)):
+            return spark.read.parquet(docs_path).select("url")
+    except Exception:
+        pass
+    return None
+
+
+def run_pipeline(spark: SparkSession, web_pages: DataFrame,
+                 output_dir: str | None = None,
+                 run_id: str | None = None,
+                 num_partitions: int | None = None,
+                 resume: bool = True) -> PipelineResult:
+    """Run the 5-stage extraction over a web_pages DataFrame.
+
+    output_dir: if set, writes ``docs/`` + ``claims/`` parquet (append)
+    and per-partition lineage JSON under ``metrics/``; re-runs anti-join
+    committed urls first (idempotent — north_rule resumability).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.monotonic()
+    metrics_dir = os.path.join(output_dir, "metrics") if output_dir else None
+    docs_path = os.path.join(output_dir, "docs") if output_dir else None
+    claims_path = os.path.join(output_dir, "claims") if output_dir else None
+
+    df = web_pages
+    if resume and docs_path:
+        committed = _committed_urls(spark, docs_path)
+        if committed is not None:
+            # J1 pattern at run granularity: skip already-extracted urls
+            df = df.join(committed, "url", "left_anti")
+
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+    # skew kill: range-partition on url-hash → uniform doc distribution
+    df = (df.withColumn("_url_hash", F.xxhash64("url"))
+            .repartitionByRange(num_partitions, "_url_hash")
+            .drop("_url_hash"))
+
+    sniffed = sniff(df)
+    tokenized = tokenize(sniffed, run_id, metrics_dir)
+    fields_df = extract_fields(tokenized, run_id, metrics_dir)
+    claims, docs = finalize(fields_df)
+
+    docs_written = 0
+    if output_dir:
+        docs.write.mode("append").parquet(docs_path)
+        docs_out = spark.read.parquet(docs_path)
+        # claims re-derived from the committed docs' nested column would
+        # re-shuffle; write the claims view directly (same lineage)
+        claims.write.mode("append").parquet(claims_path)
+        docs_written = docs_out.count()
+        metrics = read_metrics(spark, metrics_dir)
+        return PipelineResult(run_id, docs_out,
+                              spark.read.parquet(claims_path), metrics,
+                              docs_written, time.monotonic() - t0)
+    return PipelineResult(run_id, docs, claims, None, 0,
+                          time.monotonic() - t0)

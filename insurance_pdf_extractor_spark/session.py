@@ -1,0 +1,44 @@
+"""SparkSession factory with the scale-oriented defaults this engine needs.
+
+Tuned for the 100 TB design point (SURVEY.md §4 "explicit engineering"):
+- AQE on (runtime coalescing + skew-join splitting);
+- small Arrow batches — input rows carry fat ``binary`` payloads, so the
+  default 10k-row batches would blow up the Python workers;
+- python worker reuse (steady-state throughput for the two-parallelism
+  scaling benchmark);
+- shuffle partitions sized for the local harness; a real cluster job
+  overrides via ``spark-submit --conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 64
+
+
+def get_spark(app_name: str = "insurance_pdf_extractor_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_BATCH_ROWS))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
