@@ -25,7 +25,9 @@ FIRST_NAMES = ["Maria", "James", "Wei", "Aisha", "Carlos", "Elena", "Raj",
                "Sofia", "Omar", "Grace", "Hiro", "Lena", "Pavel", "Nina"]
 LAST_NAMES = ["Hernandez", "Okafor", "Chen", "Patel", "Garcia", "Kim",
               "Novak", "Silva", "Dubois", "Ivanov", "Tanaka", "Mbeki"]
-PHANTOM_NAMES = ["John Smith", "Jane Doe", "Alice Johnson", "Glenn Watson"]
+# names that the phantom filter (F6) actually catches after "Last, First"
+# normalization: cleaned forms must appear in funcs.PHANTOM_NAMES
+PHANTOM_NAMES = ["John Doe", "Alice Johnson", "Glenn Watson", "Michael Boyce"]
 BODY_PARTS = ["shoulder(s)", "lower back", "knee", "wrist", "buttocks",
               "ankle", "neck", "hand"]
 DESCRIPTIONS = ["struck by falling object", "slip and fall on wet floor",

@@ -38,7 +38,7 @@ def status_normalize(col: Column) -> Column:
     return (F.when(up.isin("C", "CL", "CLOSED"), "Closed")
              .when(up.isin("O", "OP", "OPEN"), "Open")
              .when(up.isin("R", "RC", "REOP", "REOPENED"), "Reopened")
-             .otherwise(up))
+             .otherwise(F.nullif(up, F.lit(""))))  # null stays null
 
 
 def injury_type_normalize(col: Column) -> Column:

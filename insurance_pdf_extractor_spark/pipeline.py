@@ -18,6 +18,7 @@ the layout (output keyed by url + a metrics side-table) is unchanged.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -86,19 +87,31 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     sniffed = sniff(df)
     tokenized = tokenize(sniffed, run_id, metrics_dir)
     fields_df = extract_fields(tokenized, run_id, metrics_dir)
-    claims, docs = finalize(fields_df)
 
     docs_written = 0
     if output_dir:
+        # Materialize the post-UDF intermediate BEFORE appending outputs:
+        # 1. the docs/claims DAGs both branch off fields_df — without a
+        #    materialization the UDF stages re-execute per consumer
+        #    (3x tokenize) and lineage triple-counts;
+        # 2. the resume anti-join READS the docs path the job APPENDS to —
+        #    a lazy plan re-evaluated after the first append would see its
+        #    own output and silently drop the delta (self-read-write
+        #    hazard). Staging snapshots the delta first. On a real cluster
+        #    an Iceberg snapshot gives this isolation for free.
+        staging = os.path.join(output_dir, "_staging", run_id)
+        fields_df.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        claims, docs = finalize(staged)
         docs.write.mode("append").parquet(docs_path)
-        docs_out = spark.read.parquet(docs_path)
-        # claims re-derived from the committed docs' nested column would
-        # re-shuffle; write the claims view directly (same lineage)
         claims.write.mode("append").parquet(claims_path)
+        shutil.rmtree(staging, ignore_errors=True)
+        docs_out = spark.read.parquet(docs_path)
         docs_written = docs_out.count()
         metrics = read_metrics(spark, metrics_dir)
         return PipelineResult(run_id, docs_out,
                               spark.read.parquet(claims_path), metrics,
                               docs_written, time.monotonic() - t0)
+    claims, docs = finalize(fields_df)
     return PipelineResult(run_id, docs, claims, None, 0,
                           time.monotonic() - t0)

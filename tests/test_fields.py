@@ -1,0 +1,89 @@
+"""Unit tests for segmentation (G1) and rule-based claims spotting."""
+
+from insurance_pdf_extractor_spark import fields as FX
+
+
+class TestSegmentation:
+    def test_boundaries_same_line(self):
+        text = "intro text here\nPolicy Number: ABC-123\nbody\n"
+        bs = FX.detect_policy_boundaries(text)
+        assert len(bs) == 1
+        assert bs[0]["policy_number"] == "ABC-123"
+
+    def test_boundaries_next_line(self):
+        text = "x\nPolicy Number\nSWC1364773\nmore\n"
+        bs = FX.detect_policy_boundaries(text)
+        assert bs[0]["policy_number"] == "SWC1364773"
+
+    def test_boundaries_sorted_deduped(self):
+        text = "Policy # AAA111 yes\n" + "pad " * 50 + "\nPol # BBB222\n"
+        bs = FX.detect_policy_boundaries(text)
+        assert [b["policy_number"] for b in bs] == ["AAA111", "BBB222"]
+        assert bs[0]["start_index"] < bs[1]["start_index"]
+
+    def test_initial_section_prechunk(self):
+        text = "A meaningful preamble.\nPolicy Number: P-1\nsection body"
+        chunks = FX.split_into_chunks(text, FX.detect_policy_boundaries(text))
+        assert chunks[0]["policy_number"] == "Initial Section"
+        assert chunks[1]["policy_number"] == "P-1"
+
+    def test_no_boundaries_single_chunk(self):
+        chunks = FX.split_into_chunks("no headers", [])
+        assert len(chunks) == 1
+        assert chunks[0]["policy_number"] == "Unknown"
+
+    def test_chunk_spans_cover_text(self):
+        text = "Policy Number: P-1\naaa\nPolicy Number: P-2\nbbb"
+        chunks = FX.split_into_chunks(text, FX.detect_policy_boundaries(text))
+        assert [c["policy_number"] for c in chunks] == ["P-1", "P-2"]
+        assert "aaa" in chunks[0]["text"] and "bbb" in chunks[1]["text"]
+
+
+TABLE_TEXT = """[TABLE 1]
+--------------------------------------------------------------------------------
+Claim Number | Claimant    | Status | Date of Injury | Med Paid | Total Incurred
+-------------+-------------+--------+----------------+----------+---------------
+W11IN22222   | Ada Okafor  | OP     | 2023-01-15     | $1,000.00 | 2,000.00
+333333B      | Bo Chen     | CLOSED | 05/20/2022     | 500.50    | 500.50
+--------------------------------------------------------------------------------
+"""
+
+
+class TestClaims:
+    def test_table_claims(self):
+        claims = FX.claims_from_tables(TABLE_TEXT)
+        assert len(claims) == 2
+        c = claims[0]
+        assert c["claim_number"] == "W11IN22222"
+        assert c["employee_name"] == "Ada Okafor"
+        assert c["status"] == "OP"
+        assert c["medical_paid"] == "$1,000.00"
+        assert c["total_incurred"] == "2,000.00"
+
+    def test_header_alias_mapping(self):
+        m = FX._map_header(["Claim #", "Worker Name", "DOI", "Paid Medical"])
+        assert m == {0: "claim_number", 1: "employee_name",
+                     2: "injury_date_time", 3: "medical_paid"}
+
+    def test_non_claims_table_skipped(self):
+        text = TABLE_TEXT.replace("Claim Number", "Item").replace(
+            "Claimant", "Qty")
+        assert FX.claims_from_tables(text) == []
+
+    def test_line_fallback(self):
+        text = "Claim# 12345 Ada OPEN 2023-01-15\nno claim here\n"
+        claims = FX.claims_from_lines(text)
+        assert len(claims) == 1
+        assert claims[0]["claim_number"] == "12345"
+        assert claims[0]["status"] == "OPEN"
+        assert claims[0]["injury_date_time"] == "2023-01-15"
+
+    def test_document_fields_merge(self):
+        text = ("Insured Name: ACME LLC\nPolicy Number: P-1\n" + TABLE_TEXT
+                + "\nPolicy Number: P-2\n" + TABLE_TEXT)
+        res = FX.extract_document_fields(text)
+        assert res["insured_name"] == "ACME LLC"
+        # distinct policies joined sorted (reference chunked_extractor.py:359-362)
+        assert res["policy_number"] == "P-1, P-2"
+        assert len(res["claims"]) == 4
+        assert {c["policy_number"] for c in res["claims"]} == {"P-1", "P-2"}
