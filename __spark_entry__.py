@@ -1,38 +1,1031 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship 5-stage extraction pipeline over
+web_pages derived from sf0.001 documents; ``queries()``/``oracle_sql()``
+register every SQL-expressible operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis)
+against DuckDB oracles at sf0.01.
+
+Conventions: every computed column is aliased IDENTICALLY in the Spark
+plan and the oracle SQL; doubles are rounded (4dp) on both sides;
+timestamps are never returned raw.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_pdf_extractor_spark import funcs as C
+from insurance_pdf_extractor_spark.pipeline import run_pipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: web_pages from the documents table → full extraction pipeline
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = ('<!DOCTYPE html>\n<html><head><title>doc</title></head><body>'
+             '<nav><ul><li><a href="/home">Home</a></li>'
+             '<li><a href="/about">About</a></li></ul></nav>'
+             '<article><p>')
+_HTML_POST = ('</p></article><footer><a href="/privacy">Privacy</a>'
+              '</footer></body></html>')
+
+
+def _web_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("https://testdata.local/doc/"), F.col("doc_id"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+         .alias("warc_ts"),
+        F.encode(F.concat(F.lit(_HTML_PRE), F.col("text"),
+                          F.lit(_HTML_POST)), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    web = _web_pages_from_documents(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, web, output_dir=None, resume=False)
+    return res.docs.select(
+        "url", "doc_kind", "total_pages", "total_claims",
+        F.length("text").alias("text_chars"), "validation_complete")
+
+
+# ---------------------------------------------------------------------------
+# VALUES fixtures shared by Spark and the SQL oracles
+# ---------------------------------------------------------------------------
+
+_CURRENCY_VALUES = ["$51,068.57", "1,234.00", "12.5", "", "N/A", "abc",
+                    "$0.02", "99"]
+_STATUS_VALUES = ["C", "CL", "CLOSED", "o", "Op", "OPEN", "r", "RC",
+                  "REOP", "REOPENED", "weird", "  closed "]
+_ITYPE_VALUES = ["COMP", "ttd", "TPD", "ppd", "Indemnity", "INDEM ONLY",
+                 "MED", "Medical Only", "other", "MED ONLY"]
+_DATE_VALUES = ["2023-05-18", "05/18/1999", "no year", "2101-01-01",
+                "12/31/2020", "1998"]
+_NAME_VALUES = ["John Smith", "John M. Smith", "Smith, John", "Cher",
+                "Ana  Lima", "Mary Jane Watson"]
+_PHANTOM_VALUES = ["Doe, John", "Johnson, Alice", "Watson, Glenn",
+                   "Real Person", "a placeholder name", "TEST PERSON x",
+                   "Boyce, Michael", "Okafor, Ada"]
+# (claim_number, status, injury_type, date, name,
+#  med_paid, med_res, ind_paid, ind_res, exp_paid, exp_res, recovery,
+#  total) — duplicates + a math violation for G5/C7
+_CLAIM_VALUES = [
+    ("A100", "OP", "TTD", "2021-03-04", "Ada Okafor",
+     "100.00", "50.00", "10.00", "40.00", "0", "0", "0", "200.00"),
+    ("A100", "OP", "TTD", "2021-03-04", "Ada Okafor",
+     "100.00", "50.00", "10.00", "40.00", "0", "0", "0", "999.00"),
+    ("B200", "CLOSED", "MED ONLY", "05/06/2019", "Bo Chen",
+     "$1,000.00", "250.00", "70.00", "30.00", "0", "0", "0", "1,250.00"),
+    ("C300", "REOP", "COMP", "2020-12-01", "Watson, Glenn",
+     "5.00", "5.00", "0", "0", "0", "0", "0", "10.00"),
+    ("D400", "weird", "other", "no date", "Cher",
+     "", "N/A", "1.5", "2.5", "0", "0", "0", "4.00"),
+    ("", "OP", "MED", "2021-01-01", "Empty Key",
+     "1", "1", "0", "0", "0", "0", "0", "2"),
+]
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def _values_sql(rows, cols) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")"
+                     for r in rows)
+    return f"(VALUES {body}) AS t({', '.join(cols)})"
+
+
+def _values_df(spark, rows, cols):
+    return spark.createDataFrame([tuple(r) for r in rows], cols)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q_top1_line_per_order(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (li.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("l_orderkey", "l_linenumber",
+                    F.round("l_extendedprice", 2).alias("best_price")))
+
+
+def q_forward_fill_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)) \
+         .otherwise(F.round("value", 2))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (ev.withColumn("v", v)
+            .select("user_id", "event_id",
+                    F.last("v", ignorenulls=True).over(w).alias("filled")))
+
+
+def q_lead_bounds_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("user_id", "event_id",
+                     F.lead("event_id").over(w).alias("next_event_id"))
+
+
+def q_anti_join_customers(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_semi_join_parts(spark, sf):
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+            .select("p_partkey", "p_brand"))
+
+
+def q_set_diff_both_ways(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_suppkey").distinct()
+    sup = _t(spark, sf, "supplier").select("s_suppkey").distinct()
+    missing = sup.join(li, sup.s_suppkey == li.l_suppkey, "left_anti").count()
+    extra = li.join(sup, sup.s_suppkey == li.l_suppkey, "left_anti").count()
+    return _values_df(spark, [(missing, extra)],
+                      ["suppliers_without_lines", "lines_without_supplier"])
+
+
+def q_revenue_by_parttype(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+def q_topk_orders(spark, sf):
+    return (_t(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("total_price"))
+            .limit(10))
+
+
+def q_distinct_segments_per_nation(spark, sf):
+    cust = _t(spark, sf, "customer")
+    return (cust.groupBy("c_nationkey")
+            .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")),
+                              ", ").alias("segments")))
+
+
+def q_json_props_sum(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.withColumn(
+                "k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n")))
+
+
+# --- scalar normalization oracles (VALUES-based) ---------------------------
+
+def q_currency_clean(spark, sf):
+    df = _values_df(spark, [(v,) for v in _CURRENCY_VALUES], ["raw"])
+    return df.select("raw", C.currency_clean(F.col("raw")).alias("cleaned"))
+
+
+def q_status_normalize(spark, sf):
+    df = _values_df(spark, [(v,) for v in _STATUS_VALUES], ["raw"])
+    return df.select("raw", C.status_normalize(F.col("raw")).alias("status"))
+
+
+def q_injury_type_normalize(spark, sf):
+    df = _values_df(spark, [(v,) for v in _ITYPE_VALUES], ["raw"])
+    return df.select("raw",
+                     C.injury_type_normalize(F.col("raw")).alias("itype"))
+
+
+def q_claim_year(spark, sf):
+    df = _values_df(spark, [(v,) for v in _DATE_VALUES], ["raw"])
+    return df.select("raw", C.claim_year(F.col("raw")).alias("claim_year"))
+
+
+def q_name_last_first(spark, sf):
+    df = _values_df(spark, [(v,) for v in _NAME_VALUES], ["raw"])
+    return df.select("raw", C.name_last_first(F.col("raw")).alias("name"))
+
+
+def q_phantom_filter(spark, sf):
+    df = _values_df(spark, [(v,) for v in _PHANTOM_VALUES], ["name"])
+    return df.where(~C.is_phantom_name(F.col("name"))).select("name")
+
+
+_CLAIM_COLS = ["claim_number", "status", "injury_type", "injury_date",
+               "employee_name", "medical_paid", "medical_reserve",
+               "indemnity_paid", "indemnity_reserve", "expense_paid",
+               "expense_reserve", "recovery", "total_incurred"]
+
+
+def q_claims_normalize(spark, sf):
+    """C1-C7 + C6 guardrail + G5 dedup + F6 phantom filter in one plan."""
+    df = _values_df(spark, _CLAIM_VALUES, _CLAIM_COLS)
+    num = ["medical_paid", "medical_reserve", "indemnity_paid",
+           "indemnity_reserve", "expense_paid", "expense_reserve",
+           "recovery", "total_incurred"]
+    df = df.select(
+        F.trim("claim_number").alias("claim_number"),
+        C.status_normalize(F.col("status")).alias("status"),
+        C.injury_type_normalize(F.col("injury_type")).alias("injury_type"),
+        C.claim_year(F.col("injury_date")).alias("claim_year"),
+        C.name_last_first(F.col("employee_name")).alias("employee_name"),
+        *[C.currency_clean(F.col(c)).alias(c) for c in num],
+    ).where(F.col("claim_number") != "")
+    df = (df.withColumn("indemnity_paid",
+                        C.med_guardrail(F.col("injury_type"),
+                                        F.col("indemnity_paid")))
+            .withColumn("indemnity_reserve",
+                        C.med_guardrail(F.col("injury_type"),
+                                        F.col("indemnity_reserve"))))
+    calc = (F.col("medical_paid") + F.col("medical_reserve")
+            + F.col("indemnity_paid") + F.col("indemnity_reserve")
+            + F.col("expense_paid") + F.col("expense_reserve"))
+    df = (df.withColumn("math_diff",
+                        F.round(F.least(
+                            F.abs(calc - F.col("recovery")
+                                  - F.col("total_incurred")),
+                            F.abs(calc - F.col("total_incurred"))), 2))
+            .withColumn("math_valid", F.col("math_diff") < 1.0))
+    w = Window.partitionBy("claim_number").orderBy(
+        F.desc("math_valid"), F.desc("total_incurred"))
+    df = (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+    return df.where(~C.is_phantom_name(F.col("employee_name")))
+
+
+# --- documents: text analysis ----------------------------------------------
+
+def q_doc_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 F.sum("n_chars").alias("total_nchars"),
+                 F.round(F.avg(F.length("text")), 4).alias("avg_chars")))
+
+
+def q_token_counts(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (docs
+            .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+            .withColumn("est_tokens", C.token_estimate(F.col("text")))
+            .groupBy("lang")
+            .agg(F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum("est_tokens").alias("sum_est_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
+def q_quality_score(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    words = F.split(F.col("text"), r"\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(_STOPWORDS)))
+    stop_ratio = F.round(stop_hits / n_words, 4)
+    avg_word_len = F.round((F.length("text") - (n_words - 1)) / n_words, 4)
+    score = F.round(F.lit(1.0)
+                    - F.when(n_words < 30, 0.3).otherwise(0.0)
+                    - F.when(stop_ratio < 0.02, 0.3).otherwise(0.0)
+                    - F.when(avg_word_len < 3.0, 0.2).otherwise(0.0), 2)
+    return docs.select("doc_id", n_words.alias("n_words"),
+                       stop_ratio.alias("stop_ratio"),
+                       avg_word_len.alias("avg_word_len"),
+                       score.alias("quality_score"))
+
+
+def q_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def hits(word):
+        return F.size(F.split(pad, f" {word} ")) - 1
+    en, es, de, fr = (hits(w) for w in ("the", "el", "der", "le"))
+    guess = (F.when((en > 0) & (en >= es) & (en >= de) & (en >= fr), "en")
+             .when((es > 0) & (es >= de) & (es >= fr), "es")
+             .when((de > 0) & (de >= fr), "de")
+             .when(fr > 0, "fr")
+             .otherwise("unknown"))
+    return (docs.withColumn("lang_guess", guess)
+            .groupBy("lang", "lang_guess")
+            .agg(F.count("*").alias("n")))
+
+
+def q_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def q_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (docs.withColumn("fingerprint", F.md5(norm))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("copies"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .groupBy()
+            .agg(F.count("*").alias("distinct_docs"),
+                 F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+                  .alias("dup_groups")))
+
+
+def _corpus_with_twins(spark, sf):
+    """documents ∪ a tail-chopped twin of each — near-dups by construction."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    twin = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"))
+    return docs.unionByName(twin)
+
+
+def _shingles(col, n):
+    words = F.split(col, " ")
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j)
+                                     for j in range(n)])))
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.5 over the twin corpus."""
+    corpus = _corpus_with_twins(spark, sf).where(
+        (F.col("doc_id") % 1000) < 50)  # bound the pair join
+    sh = corpus.select("doc_id",
+                       F.explode(_shingles(F.col("text"), 3)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    out = (pairs
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "na"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_sh", "nb"), "doc_b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter")
+                               / (F.col("na") + F.col("nb") - F.col("inter")),
+                               4))
+           .where(F.col("jaccard") >= 0.5)
+           .select("doc_a", "doc_b", "jaccard"))
+    return out
+
+
+def q_minhash_signatures(spark, sf):
+    corpus = _corpus_with_twins(spark, sf).where(
+        (F.col("doc_id") % 1000) < 50)
+    sh = corpus.select("doc_id",
+                       F.explode(_shingles(F.col("text"), 2)).alias("sh"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh"))))
+             .alias(f"mh{k}") for k in range(4)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_lsh_band_pairs(spark, sf):
+    sig = q_minhash_signatures(spark, sf)
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.concat("mh0", "mh1")).alias("band1"),
+        F.md5(F.concat("mh2", "mh3")).alias("band2"))
+    stacked = (bands.select("doc_id", F.col("band1").alias("band"))
+               .unionByName(bands.select("doc_id",
+                                         F.col("band2").alias("band"))))
+    return (stacked.alias("a").join(stacked.alias("b"), "band")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def q_simhash16(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
+    w = w.withColumn("h", F.md5(F.col("w")))
+    votes = [
+        F.sum(F.when(F.ascii(F.substring("h", i + 1, 1)) % 2 == 1, 1)
+               .otherwise(-1)).alias(f"v{i}") for i in range(16)]
+    agg = w.groupBy("doc_id").agg(*votes)
+    sim = sum((F.when(F.col(f"v{i}") > 0, 1).otherwise(0)
+               * F.lit(2 ** i)) for i in range(16))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+# --- embeddings: similarity search ------------------------------------------
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double")
+                                 * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double")
+                                        * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double")
+                                        * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def q_ann_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    return (emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    F.round(_cosine(F.col("embedding"), F.col("q_emb")), 4)
+                     .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(5))
+
+
+def q_ann_ivf_bucketed(spark, sf):
+    """IVF-style: restrict search to the query's coarse bucket (label)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("label").alias("q_label"))
+    return (emb.where(F.col("vec_id") != 0).join(
+                F.broadcast(q), F.col("label") == F.col("q_label"))
+            .select("vec_id", "label",
+                    F.round(_cosine(F.col("embedding"), F.col("q_emb")), 4)
+                     .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(5))
+
+
+def q_embedding_bucket_stats(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return (emb.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(F.element_at("embedding", 1)
+                               .cast("double")), 4).alias("avg_dim1"),
+                 F.round(F.avg(F.sqrt(F.aggregate(
+                     F.transform("embedding",
+                                 lambda x: x.cast("double")
+                                 * x.cast("double")),
+                     F.lit(0.0), lambda acc, x: acc + x))), 4)
+                  .alias("avg_norm")))
+
+
+# --- text twins of extraction operators --------------------------------------
+
+def q_reverse_lines(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.md5(C.reverse_lines(F.col("text"))).alias("reversed_md5"))
+
+
+def q_looks_reversed(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (docs.withColumn("is_rev", C.looks_reversed(F.col("text")))
+            .groupBy("is_rev").agg(F.count("*").alias("n")))
+
+
+def q_blank_filter(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (docs.withColumn(
+                "is_blank", F.length(F.trim(F.col("text"))) < 10)
+            .groupBy("is_blank")
+            .agg(F.count("*").alias("n"),
+                 F.min("n_chars").alias("min_chars")))
+
+
+def q_truncation_preview(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 100).alias("preview_start"),
+        F.substring(F.col("text"), -50, 50).alias("preview_end"))
+
+
+def q_best_record_per_group(spark, sf):
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("lang", "source", "doc_id", "n_chars"))
+
+
+def q_claim_id_regex(spark, sf):
+    docs = _t(spark, sf, "documents")
+    ids = F.regexp_extract_all(F.col("text"),
+                               F.lit(r"\b(scan|hash|merge)\b"), F.lit(1))
+    return (docs.select("doc_id", F.size(ids).alias("n_ids"),
+                        F.size(F.array_distinct(ids)).alias("n_distinct")))
+
+
+# --- non-SQL (rows-only checks): the real extraction pipeline ---------------
+
+def q_pipeline_documents(spark, sf):
+    web = _web_pages_from_documents(spark, sf)
+    res = run_pipeline(spark, web, output_dir=None, resume=False)
+    return res.docs.select("url", "doc_kind", "total_pages",
+                           F.length("text").alias("text_chars"))
+
+
+def q_pipeline_fixture_claims(spark, sf):
+    from insurance_pdf_extractor_spark.fixtures import generate_rows
+    from insurance_pdf_extractor_spark.schemas import WEB_PAGES
+    rows = generate_rows(64, seed=42)
+    web = spark.createDataFrame(rows, schema=WEB_PAGES)
+    res = run_pipeline(spark, web, output_dir=None, resume=False)
+    return res.claims.select("url", "claim_number", "employee_name",
+                             "status", "injury_type", "claim_year",
+                             "medical_paid", "total_incurred",
+                             "math_valid", "math_diff")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # joins / aggs / windows (SURVEY §2.4-2.8)
+        "pricing_summary": q_pricing_summary,
+        "top1_line_per_order": q_top1_line_per_order,
+        "forward_fill_events": q_forward_fill_events,
+        "lead_bounds_events": q_lead_bounds_events,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_parts": q_semi_join_parts,
+        "set_diff_both_ways": q_set_diff_both_ways,
+        "revenue_by_parttype": q_revenue_by_parttype,
+        "topk_orders": q_topk_orders,
+        "distinct_segments_per_nation": q_distinct_segments_per_nation,
+        "json_props_sum": q_json_props_sum,
+        # scalar normalizations (SURVEY §2.9)
+        "currency_clean": q_currency_clean,
+        "status_normalize": q_status_normalize,
+        "injury_type_normalize": q_injury_type_normalize,
+        "claim_year": q_claim_year,
+        "name_last_first": q_name_last_first,
+        "phantom_filter": q_phantom_filter,
+        "claims_normalize": q_claims_normalize,
+        # documents: text analysis / quality / lang-id / fingerprints
+        "doc_stats": q_doc_stats,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        # dedup: minhash / lsh / jaccard / simhash
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_band_pairs": q_lsh_band_pairs,
+        "simhash16": q_simhash16,
+        # similarity search over embeddings
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf_bucketed": q_ann_ivf_bucketed,
+        "embedding_bucket_stats": q_embedding_bucket_stats,
+        # extraction-operator twins
+        "reverse_lines": q_reverse_lines,
+        "looks_reversed": q_looks_reversed,
+        "blank_filter": q_blank_filter,
+        "truncation_preview": q_truncation_preview,
+        "best_record_per_group": q_best_record_per_group,
+        "claim_id_regex": q_claim_id_regex,
+        # non-SQL: full pipeline (rows-only checks)
+        "pipeline_documents": q_pipeline_documents,
+        "pipeline_fixture_claims": q_pipeline_fixture_claims,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    currency_vals = _values_sql([(v,) for v in _CURRENCY_VALUES], ["raw"])
+    status_vals = _values_sql([(v,) for v in _STATUS_VALUES], ["raw"])
+    itype_vals = _values_sql([(v,) for v in _ITYPE_VALUES], ["raw"])
+    date_vals = _values_sql([(v,) for v in _DATE_VALUES], ["raw"])
+    name_vals = _values_sql([(v,) for v in _NAME_VALUES], ["raw"])
+    phantom_vals = _values_sql([(v,) for v in _PHANTOM_VALUES], ["name"])
+    claim_vals = _values_sql(_CLAIM_VALUES, _CLAIM_COLS)
+    phantoms = ", ".join(f"'{p}'" for p in C.PHANTOM_NAMES)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+    currency_expr = ("coalesce(try_cast(nullif(regexp_replace({c}, "
+                     "'[^0-9.]', '', 'g'), '') as double), 0.0)")
+    status_expr = (
+        "case when upper(trim({c})) in ('C','CL','CLOSED') then 'Closed' "
+        "when upper(trim({c})) in ('O','OP','OPEN') then 'Open' "
+        "when upper(trim({c})) in ('R','RC','REOP','REOPENED') "
+        "then 'Reopened' else nullif(upper(trim({c})), '') end")
+    itype_expr = (
+        "case when regexp_matches(upper({c}), "
+        "'COMP|TTD|TPD|PPD|INDEMNITY|INDEM') then 'COMP' "
+        "when regexp_matches(upper({c}), 'MED|MEDICAL') then 'MED' "
+        "else {c} end")
+    year_expr = ("try_cast(nullif(regexp_extract({c}, "
+                 "'((?:19|20)\\d{{2}})', 1), '') as int)")
+    name_expr = (
+        "case when trim({c}) = '' then NULL "
+        "when contains(trim({c}), ',') "
+        "or len(regexp_split_to_array(trim({c}), '\\s+')) < 2 "
+        "then trim({c}) else "
+        "regexp_split_to_array(trim({c}), '\\s+')[-1] || ', ' || "
+        "array_to_string(regexp_split_to_array(trim({c}), '\\s+')"
+        "[1:len(regexp_split_to_array(trim({c}), '\\s+'))-1], ' ') end")
+    phantom_pred = (
+        "(trim(regexp_replace(lower(trim(coalesce({c},''))), '[,.]', '', "
+        "'g')) in ({plist}) or regexp_matches(lower(trim(coalesce({c},''))),"
+        " 'placeholder|test person'))")
+
+    shingle3 = ("list_distinct([words[i] || ' ' || words[i+1] || ' ' || "
+                "words[i+2] for i in range(1, len(words)-1)])")
+    shingle2 = ("list_distinct([words[i] || ' ' || words[i+1] "
+                "for i in range(1, len(words))])")
+    twins = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, "
+        "array_to_string(string_split(text,' ')"
+        "[1:len(string_split(text,' '))-1], ' ') AS text FROM documents")
+
+    cos = ("round(list_dot_product(e.embedding, q.q_emb) / "
+           "(sqrt(list_dot_product(e.embedding, e.embedding)) * "
+           "sqrt(list_dot_product(q.q_emb, q.q_emb))), 4)")
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "top1_line_per_order": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS best_price
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+                  FROM lineitem) WHERE rn = 1""",
+        "forward_fill_events": """
+            SELECT user_id, event_id,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS filled
+            FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL
+                       ELSE round(value, 2) END AS v FROM events)""",
+        "lead_bounds_events": """
+            SELECT user_id, event_id,
+                   lead(event_id) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_event_id
+            FROM events""",
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "semi_join_parts": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)""",
+        "set_diff_both_ways": """
+            SELECT (SELECT count(*) FROM (SELECT DISTINCT s_suppkey
+                        FROM supplier WHERE s_suppkey NOT IN
+                        (SELECT DISTINCT l_suppkey FROM lineitem)))
+                   AS suppliers_without_lines,
+                   (SELECT count(*) FROM (SELECT DISTINCT l_suppkey
+                        FROM lineitem WHERE l_suppkey NOT IN
+                        (SELECT DISTINCT s_suppkey FROM supplier)))
+                   AS lines_without_supplier""",
+        "revenue_by_parttype": """
+            SELECT p_type,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type""",
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "distinct_segments_per_nation": """
+            SELECT c_nationkey,
+                   string_agg(DISTINCT c_mktsegment, ', '
+                              ORDER BY c_mktsegment) AS segments
+            FROM customer GROUP BY c_nationkey""",
+        "json_props_sum": """
+            SELECT event_type,
+                   sum(cast(json_extract_string(props, '$.k') as int))
+                       AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "currency_clean": f"""
+            SELECT raw, {currency_expr.format(c='raw')} AS cleaned
+            FROM {currency_vals}""",
+        "status_normalize": f"""
+            SELECT raw, {status_expr.format(c='raw')} AS status
+            FROM {status_vals}""",
+        "injury_type_normalize": f"""
+            SELECT raw, {itype_expr.format(c='raw')} AS itype
+            FROM {itype_vals}""",
+        "claim_year": f"""
+            SELECT raw, {year_expr.format(c='raw')} AS claim_year
+            FROM {date_vals}""",
+        "name_last_first": f"""
+            SELECT raw, {name_expr.format(c='raw')} AS name
+            FROM {name_vals}""",
+        "phantom_filter": f"""
+            SELECT name FROM {phantom_vals}
+            WHERE NOT {phantom_pred.format(c='name', plist=phantoms)}""",
+        "claims_normalize": f"""
+            WITH typed AS (
+              SELECT trim(claim_number) AS claim_number,
+                     {status_expr.format(c='status')} AS status,
+                     {itype_expr.format(c='injury_type')} AS injury_type,
+                     {year_expr.format(c='injury_date')} AS claim_year,
+                     {name_expr.format(c='employee_name')} AS employee_name,
+                     {currency_expr.format(c='medical_paid')} AS medical_paid,
+                     {currency_expr.format(c='medical_reserve')} AS medical_reserve,
+                     {currency_expr.format(c='indemnity_paid')} AS indemnity_paid_0,
+                     {currency_expr.format(c='indemnity_reserve')} AS indemnity_reserve_0,
+                     {currency_expr.format(c='expense_paid')} AS expense_paid,
+                     {currency_expr.format(c='expense_reserve')} AS expense_reserve,
+                     {currency_expr.format(c='recovery')} AS recovery,
+                     {currency_expr.format(c='total_incurred')} AS total_incurred
+              FROM {claim_vals}
+              WHERE trim(claim_number) <> ''
+            ), guarded AS (
+              SELECT claim_number, status, injury_type, claim_year,
+                     employee_name, medical_paid, medical_reserve,
+                     CASE WHEN injury_type = 'MED' THEN 0.0
+                          ELSE indemnity_paid_0 END AS indemnity_paid,
+                     CASE WHEN injury_type = 'MED' THEN 0.0
+                          ELSE indemnity_reserve_0 END AS indemnity_reserve,
+                     expense_paid, expense_reserve, recovery, total_incurred
+              FROM typed
+            ), mathed AS (
+              SELECT *,
+                  round(least(
+                      abs(medical_paid + medical_reserve + indemnity_paid
+                          + indemnity_reserve + expense_paid
+                          + expense_reserve - recovery - total_incurred),
+                      abs(medical_paid + medical_reserve + indemnity_paid
+                          + indemnity_reserve + expense_paid
+                          + expense_reserve - total_incurred)), 2)
+                      AS math_diff
+              FROM guarded
+            ), flagged AS (
+              SELECT *, (math_diff < 1.0) AS math_valid FROM mathed
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY claim_number
+                  ORDER BY math_valid DESC, total_incurred DESC) AS rn
+              FROM flagged
+            )
+            SELECT claim_number, status, injury_type, claim_year,
+                   employee_name, medical_paid, medical_reserve,
+                   indemnity_paid, indemnity_reserve, expense_paid,
+                   expense_reserve, recovery, total_incurred, math_diff,
+                   math_valid
+            FROM ranked WHERE rn = 1
+              AND NOT {phantom_pred.format(c='employee_name',
+                                           plist=phantoms)}""",
+        "doc_stats": """
+            SELECT source, count(*) AS n_docs,
+                   sum(length(text)) AS total_chars,
+                   sum(n_chars) AS total_nchars,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY source""",
+        "token_counts": """
+            SELECT lang,
+                   sum(len(regexp_split_to_array(text, '\\s+')))
+                       AS sum_tokens,
+                   sum(length(text) // 4) AS sum_est_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang""",
+        "quality_score": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     len(regexp_split_to_array(text, '\\s+')) AS n_words,
+                     len([x for x in regexp_split_to_array(text, '\\s+')
+                          if x in ({stop_list})]) AS stop_hits
+              FROM documents WHERE doc_id < 100)
+            SELECT doc_id, n_words,
+                   round(stop_hits / n_words, 4) AS stop_ratio,
+                   round((length(text) - (n_words - 1)) / n_words, 4)
+                       AS avg_word_len,
+                   cast(round(1.0
+                       - (CASE WHEN n_words < 30 THEN 0.3 ELSE 0.0 END)
+                       - (CASE WHEN round(stop_hits / n_words, 4) < 0.02
+                               THEN 0.3 ELSE 0.0 END)
+                       - (CASE WHEN round((length(text) - (n_words - 1))
+                               / n_words, 4) < 3.0
+                               THEN 0.2 ELSE 0.0 END), 2) as double)
+                       AS quality_score
+            FROM w""",
+        "lang_id": """
+            WITH h AS (
+              SELECT lang,
+                     len(string_split(' ' || text || ' ', ' the ')) - 1 AS en,
+                     len(string_split(' ' || text || ' ', ' el '))  - 1 AS es,
+                     len(string_split(' ' || text || ' ', ' der ')) - 1 AS de,
+                     len(string_split(' ' || text || ' ', ' le '))  - 1 AS fr
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr
+                            THEN 'en'
+                        WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                        WHEN de > 0 AND de >= fr THEN 'de'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'unknown' END AS lang_guess,
+                   count(*) AS n
+            FROM h GROUP BY 1, 2""",
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents WHERE doc_id < 100""",
+        "dedup_exact": """
+            WITH fp AS (
+              SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                         AS fingerprint,
+                     count(*) AS copies, min(doc_id) AS keeper_doc_id
+              FROM documents GROUP BY 1)
+            SELECT count(*) AS distinct_docs,
+                   sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS dup_groups
+            FROM fp""",
+        "ngram_jaccard_pairs": f"""
+            WITH corpus AS (
+              SELECT * FROM ({twins}) WHERE (doc_id % 1000) < 50
+            ), sh AS (
+              SELECT doc_id, unnest({shingle3}) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM corpus)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b USING (sh)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5""",
+        "minhash_signatures": f"""
+            WITH corpus AS (
+              SELECT * FROM ({twins}) WHERE (doc_id % 1000) < 50
+            ), sh AS (
+              SELECT doc_id, unnest({shingle2}) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM corpus)
+            )
+            SELECT doc_id,
+                   min(md5('0:' || sh)) AS mh0,
+                   min(md5('1:' || sh)) AS mh1,
+                   min(md5('2:' || sh)) AS mh2,
+                   min(md5('3:' || sh)) AS mh3
+            FROM sh GROUP BY doc_id""",
+        "lsh_band_pairs": f"""
+            WITH corpus AS (
+              SELECT * FROM ({twins}) WHERE (doc_id % 1000) < 50
+            ), sh AS (
+              SELECT doc_id, unnest({shingle2}) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM corpus)
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+                     min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, md5(mh0 || mh1) AS band FROM sig
+              UNION ALL
+              SELECT doc_id, md5(mh2 || mh3) AS band FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band)
+            WHERE a.doc_id < b.doc_id""",
+        "simhash16": """
+            WITH w AS (
+              SELECT doc_id, md5(w) AS h
+              FROM (SELECT doc_id,
+                           unnest(list_distinct(string_split(text, ' ')))
+                               AS w
+                    FROM documents WHERE doc_id < 100)
+            ), votes AS (
+              SELECT doc_id,
+                     {cols}
+              FROM w GROUP BY doc_id
+            )
+            SELECT doc_id, {sim} AS simhash FROM votes""".format(
+            cols=", ".join(
+                f"sum(CASE WHEN ascii(substr(h, {i+1}, 1)) % 2 = 1 "
+                f"THEN 1 ELSE -1 END) AS v{i}" for i in range(16)),
+            sim=" + ".join(
+                f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END) * {2**i}"
+                for i in range(16))),
+        "ann_bruteforce": f"""
+            WITH q AS (SELECT embedding AS q_emb FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id, {cos} AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+        "ann_ivf_bucketed": f"""
+            WITH q AS (SELECT embedding AS q_emb, label AS q_label
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, e.label, {cos} AS cosine
+            FROM embeddings e JOIN q ON e.label = q.q_label
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+        "embedding_bucket_stats": """
+            SELECT label, count(*) AS n,
+                   round(avg(cast(embedding[1] as double)), 4) AS avg_dim1,
+                   round(avg(sqrt(list_dot_product(embedding, embedding))),
+                         4) AS avg_norm
+            FROM embeddings GROUP BY label""",
+        "reverse_lines": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                       [reverse(x) for x in string_split(text, chr(10))],
+                       chr(10))) AS reversed_md5
+            FROM documents WHERE doc_id < 50""",
+        "looks_reversed": """
+            WITH h AS (
+              SELECT (CASE WHEN contains(text, 'tropeR')
+                           OR contains(lower(text), 'troper')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'mialC')
+                           OR contains(lower(text), 'mialc')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'ycailoP')
+                           OR contains(lower(text), 'ycailop')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'oitaR')
+                           OR contains(lower(text), 'oitar')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'ssoL')
+                           OR contains(lower(text), 'ssol')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'diap')
+                           OR contains(lower(text), 'diap')
+                           THEN 1 ELSE 0 END) >= 2 AS is_rev
+              FROM documents)
+            SELECT is_rev, count(*) AS n FROM h GROUP BY is_rev""",
+        "blank_filter": """
+            SELECT length(trim(text)) < 10 AS is_blank, count(*) AS n,
+                   min(n_chars) AS min_chars
+            FROM documents GROUP BY 1""",
+        "truncation_preview": """
+            SELECT doc_id, substr(text, 1, 100) AS preview_start,
+                   CASE WHEN length(text) >= 50
+                        THEN substr(text, length(text) - 49, 50)
+                        ELSE text END AS preview_end
+            FROM documents WHERE doc_id < 50""",
+        "best_record_per_group": """
+            SELECT lang, source, doc_id, n_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
+                      ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM documents) WHERE rn = 1""",
+        "claim_id_regex": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '\\b(scan|hash|merge)\\b', 1)) AS n_ids,
+                   len(list_distinct(regexp_extract_all(text,
+                       '\\b(scan|hash|merge)\\b', 1))) AS n_distinct
+            FROM documents""",
+    }
