@@ -1,0 +1,110 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The flagship numbers are the extraction-pipeline queries (docs/sec is the
+north-star metric from BASELINE.json); relational/dedup/similarity
+queries ride along so regressions anywhere in the operator inventory show
+up per-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+CACHE_DIR = "/tmp/spark_graft_bench"
+
+
+def ensure_fixture_corpus(n_docs: int) -> str:
+    """Deterministic mixed-class web_pages parquet, cached across runs."""
+    path = os.path.join(CACHE_DIR, f"web_pages_{n_docs}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        from insurance_pdf_extractor_spark.fixtures import (
+            write_web_pages_parquet)
+        write_web_pages_parquet(path, n_docs, seed=42)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.0
+
+    import __spark_entry__ as E
+    from insurance_pdf_extractor_spark.pipeline import run_pipeline
+    from insurance_pdf_extractor_spark.session import get_spark
+
+    fixture_path = ensure_fixture_corpus(FIXTURE_DOCS)
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def extract_fixtures(spark, sf_dir):
+        web = spark.read.parquet(fixture_path)
+        return run_pipeline(spark, web, output_dir=None, resume=False).docs
+
+    def extract_html_docs(spark, sf_dir):
+        web = E._web_pages_from_documents(spark, sf_dir)
+        return run_pipeline(spark, web, output_dir=None, resume=False).docs
+
+    qs = E.queries()
+    bench_queries = {
+        "extract_fixtures": extract_fixtures,
+        "extract_html_docs": extract_html_docs,
+        "pricing_summary": qs["pricing_summary"],
+        "top1_line_per_order": qs["top1_line_per_order"],
+        "forward_fill_events": qs["forward_fill_events"],
+        "revenue_by_parttype": qs["revenue_by_parttype"],
+        "topk_orders": qs["topk_orders"],
+        "token_counts": qs["token_counts"],
+        "dedup_exact": qs["dedup_exact"],
+        "minhash_signatures": qs["minhash_signatures"],
+        "ngram_jaccard_pairs": qs["ngram_jaccard_pairs"],
+        "simhash16": qs["simhash16"],
+        "ann_bruteforce": qs["ann_bruteforce"],
+    }
+
+    # JVM/python-worker warmup so per-query numbers measure the queries
+    extract_fixtures(spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    extract_docs = 0
+    extract_sec = 0.0
+    for name, fn in bench_queries.items():
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        if name.startswith("extract_"):
+            extract_docs += n
+            extract_sec += dt
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs": extract_docs,
+        "extract_docs_per_sec": round(extract_docs / extract_sec, 2)
+        if extract_sec else None,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -384,4 +384,6 @@ def write_web_pages_parquet(path: str, n_docs: int, seed: int = 42) -> None:
         "text": pa.array([r["text"] for r in rows], pa.string()),
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
     })
-    pq.write_table(table, path)
+    # small row groups → Spark can split the scan across tasks (a single
+    # default row group would serialize the whole read into one task)
+    pq.write_table(table, path, row_group_size=256)

@@ -1,0 +1,92 @@
+"""Fused tokenize+fields stage — one Arrow crossing instead of two.
+
+The tokenize output carries fat columns (full text + pages structs with
+word boxes). Running tokenize and fields as separate mapInPandas stages
+ships those columns JVM→Python→JVM→Python→JVM; fusing them halves the
+Arrow traffic while keeping the two stages' lineage rows distinct
+(emit_partition_metrics is called once per logical stage).
+
+The standalone operators in tokenize.py / fields_stage.py remain the
+unit-testable reference path; run_pipeline uses this fused stage.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .. import fields as FX
+from ..lineage import emit_partition_metrics
+from ..schemas import CLAIM_RAW, FIELDS_OUT
+from .tokenize import _extract_one, _EMPTY
+
+_CLAIM_KEYS = [f.name for f in CLAIM_RAW.fields]
+_OUT_COLS = [f.name for f in FIELDS_OUT.fields]
+
+
+def make_fused_fn(run_id: str, metrics_dir: str | None):
+    def fused_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        docs = 0
+        in_bytes = 0
+        tok_fails = 0
+        fld_fails = 0
+        tok_ms = 0.0
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in _OUT_COLS}
+            for url, ts, html, text, lang, kind0 in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
+                    pdf["lang"], pdf["doc_kind0"]):
+                docs += 1
+                in_bytes += len(html) if html is not None else 0
+                tk0 = time.monotonic()
+                try:
+                    res = _extract_one(kind0, html, text)
+                except Exception as exc:
+                    res = dict(_EMPTY)
+                    res["doc_kind"] = f"{kind0}_error"
+                    res["error"] = f"{type(exc).__name__}: {exc}"
+                if res.get("error"):
+                    tok_fails += 1
+                tok_ms += time.monotonic() - tk0
+                try:
+                    fld = FX.extract_document_fields(res["text"] or "")
+                except Exception:
+                    fld_fails += 1
+                    fld = {"policy_number": None, "insured_name": None,
+                           "report_date": None, "num_chunks": 0,
+                           "claims": []}
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["lang"].append(lang)
+                out["doc_kind"].append(res["doc_kind"])
+                out["text"].append(res["text"])
+                out["pages"].append(res["pages"])
+                out["fallback_used"].append(bool(res["fallback_used"]))
+                out["recovered_claims"].append(list(res["recovered_claims"]))
+                out["error"].append(res.get("error"))
+                out["policy_number"].append(fld["policy_number"])
+                out["insured_name"].append(fld["insured_name"])
+                out["report_date"].append(fld["report_date"])
+                out["num_chunks"].append(fld["num_chunks"])
+                out["claims_raw"].append(
+                    [{k: c.get(k) for k in _CLAIM_KEYS}
+                     for c in fld["claims"]])
+            out["num_chunks"] = pd.array(out["num_chunks"], dtype="int32")
+            yield pd.DataFrame(out)
+        wall = time.monotonic() - t0
+        emit_partition_metrics(metrics_dir, run_id, "tokenize", docs,
+                               in_bytes, tok_fails, int(tok_ms * 1000))
+        emit_partition_metrics(metrics_dir, run_id, "fields", docs,
+                               in_bytes, fld_fails,
+                               int((wall - tok_ms) * 1000))
+    return fused_fn
+
+
+def tokenize_and_extract(df, run_id: str, metrics_dir: str | None = None):
+    """(sniffed web_pages) → FIELDS_OUT in a single Arrow crossing."""
+    cols = ["url", "warc_ts", "html", "text", "lang", "doc_kind0"]
+    return df.select(*cols).mapInPandas(
+        make_fused_fn(run_id, metrics_dir), schema=FIELDS_OUT)

@@ -27,10 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .lineage import read_metrics
-from .operators.fields_stage import extract_fields
 from .operators.finalize import finalize
+from .operators.fused import tokenize_and_extract
 from .operators.sniff import sniff
-from .operators.tokenize import tokenize
 
 
 @dataclass
@@ -57,7 +56,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  output_dir: str | None = None,
                  run_id: str | None = None,
                  num_partitions: int | None = None,
-                 resume: bool = True) -> PipelineResult:
+                 resume: bool = True,
+                 repartition: str = "auto") -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
     output_dir: if set, writes ``docs/`` + ``claims/`` parquet (append)
@@ -79,14 +79,24 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
 
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
-    # skew kill: range-partition on url-hash → uniform doc distribution
-    df = (df.withColumn("_url_hash", F.xxhash64("url"))
-            .repartitionByRange(num_partitions, "_url_hash")
-            .drop("_url_hash"))
+    # Skew kill: the UDF stages need size-balanced partitions. Preferred
+    # path: the scan itself already yields enough byte-balanced splits
+    # (parquet row-group splits / Iceberg split planning) — then a shuffle
+    # of the fat binary column would only burn cores the Python workers
+    # need. Fallback when the input arrives in few/skewed partitions:
+    # explicit repartition on xxhash64(url) (uniform 64-bit key ⇒ same
+    # balance as repartitionByRange on url-hash, minus the sampling pass).
+    scan_parts = df.rdd.getNumPartitions()
+    if repartition == "always" or (repartition == "auto"
+                                   and scan_parts < num_partitions):
+        df = (df.withColumn("_url_hash", F.xxhash64("url"))
+                .repartition(num_partitions, "_url_hash")
+                .drop("_url_hash"))
 
     sniffed = sniff(df)
-    tokenized = tokenize(sniffed, run_id, metrics_dir)
-    fields_df = extract_fields(tokenized, run_id, metrics_dir)
+    # tokenize + fields run FUSED (one Arrow crossing for the fat text /
+    # pages columns) while still emitting separate per-stage lineage rows
+    fields_df = tokenize_and_extract(sniffed, run_id, metrics_dir)
 
     docs_written = 0
     if output_dir:

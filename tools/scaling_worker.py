@@ -1,0 +1,66 @@
+"""Run the extraction pipeline at a given local[N] and print one JSON line.
+
+Invoked by tools/scaling_bench.py in a fresh subprocess per parallelism
+level (a SparkSession's master can't change in-process).
+Usage: python tools/scaling_worker.py <cores> <n_docs>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bench import ensure_fixture_corpus  # noqa: E402
+from insurance_pdf_extractor_spark.pipeline import run_pipeline  # noqa: E402
+from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n_docs = int(sys.argv[2])
+    path = ensure_fixture_corpus(n_docs)
+
+    spark = get_spark(app_name=f"scaling-{cores}",
+                      master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    web = spark.read.parquet(path)
+
+    # Warmup must reach EVERY core's Python worker: a limit() warmup only
+    # starts a few workers and the first real run then pays a 32-wide
+    # import storm inside the measured window. Full-width dummy pass:
+    def _import_engine(batches):
+        import insurance_pdf_extractor_spark.textops    # noqa: F401
+        import insurance_pdf_extractor_spark.fields     # noqa: F401
+        yield from batches
+
+    (spark.range(0, cores * 64, numPartitions=cores * 4)
+          .mapInPandas(_import_engine, schema="id long").count())
+    run_pipeline(spark, web.limit(cores * 8), output_dir=None,
+                 resume=False).docs.count()
+
+    # two timed runs; report the steady-state (best) one — at the target
+    # scale the job runs for hours, so amortized-startup throughput is the
+    # honest number. The cold run is reported alongside.
+    times = []
+    n = 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        res = run_pipeline(spark, web, output_dir=None, resume=False,
+                           num_partitions=cores * 2,
+                           repartition="always")
+        n = res.docs.count()
+        times.append(time.monotonic() - t0)
+    dt = min(times)
+    print(json.dumps({"cores": cores, "docs": n, "sec": round(dt, 3),
+                      "docs_per_sec": round(n / dt, 2),
+                      "all_runs_sec": [round(t, 3) for t in times]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
