@@ -50,14 +50,28 @@ def rotate_page(page: PDFPage) -> PDFPage:
 
 
 def auto_rotate(page: PDFPage) -> tuple[PDFPage, bool]:
+    cached = getattr(page, "_auto_rotated", None)
+    if cached is not None:
+        return cached
     if rotation_vote(page) == 90:
-        return rotate_page(page), True
-    return page, False
+        result = (rotate_page(page), True)
+    else:
+        result = (page, False)
+    page._auto_rotated = result  # memoized: callers re-rotate per render
+    return result
 
 
 # --------------------------------------------------------------------------
 # line reconstruction + text rendering
 # --------------------------------------------------------------------------
+
+def page_lines(page: PDFPage) -> list[list[TextRun]]:
+    """Memoized full-page line grouping (rendered 2-3x per page)."""
+    cached = getattr(page, "_lines", None)
+    if cached is None:
+        cached = page._lines = group_lines(page.runs)
+    return cached
+
 
 def group_lines(runs: list[TextRun]) -> list[list[TextRun]]:
     """Cluster horizontal runs into visual lines by y, each sorted by x."""
@@ -89,6 +103,10 @@ def word_boxes(page: PDFPage) -> list[dict]:
     return boxes
 
 
+def render_layout_page(page: PDFPage) -> str | None:
+    return _render_layout_lines(page_lines(page), page.width)
+
+
 def render_layout_text(runs: list[TextRun], page_width: float) -> str | None:
     """Monospace-grid rendering preserving horizontal offsets.
 
@@ -96,7 +114,11 @@ def render_layout_text(runs: list[TextRun], page_width: float) -> str | None:
     page's character width (matching the trailing-space behavior visible
     in the reference's golden fixtures).
     """
-    lines = group_lines(runs)
+    return _render_layout_lines(group_lines(runs), page_width)
+
+
+def _render_layout_lines(lines: list[list[TextRun]],
+                         page_width: float) -> str | None:
     if not lines:
         return None
     width_chars = int(page_width // CHAR_W)
@@ -115,6 +137,11 @@ def render_layout_text(runs: list[TextRun], page_width: float) -> str | None:
             s = s.ljust(width_chars)
         out.append(s)
     return "\n".join(out)
+
+
+def render_plain_page(page: PDFPage) -> str:
+    return "\n".join(" ".join(r.text for r in line)
+                     for line in page_lines(page))
 
 
 def render_plain_text(runs: list[TextRun]) -> str:

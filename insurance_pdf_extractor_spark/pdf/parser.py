@@ -323,7 +323,10 @@ def _interpret_content(stream: bytes, page: PDFPage) -> None:
         tok = m.group(0)
         c0 = tok[:1]
         if c0 == b"(":
-            val, _ = _parse_string(tok, 0)
+            if b"\\" not in tok:  # fast path: no escapes
+                val = tok[1:-1].decode("latin-1")
+            else:
+                val, _ = _parse_string(tok, 0)
             (arr_mode if arr_mode is not None else stack).append(val)
         elif c0 == b"<":
             hexs = re.sub(rb"\s", b"", tok[1:-1])

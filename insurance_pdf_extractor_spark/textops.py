@@ -100,7 +100,7 @@ def classify_bytes(data: bytes | None) -> str:
 def _page_plain_text(page: P.PDFPage) -> str:
     # rotation fix precedes detection (reference backend/chunked_extractor.py:153)
     page, _ = L.auto_rotate(page)
-    return L.render_plain_text(page.runs)
+    return L.render_plain_page(page)
 
 
 def is_scanned(doc: P.PDFDocument) -> bool:
@@ -145,7 +145,7 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
         page, _ = L.auto_rotate(page)
         content = page_header(page.number)
         tables = L.detect_tables(page)
-        text = L.render_layout_text(page.runs, page.width)
+        text = L.render_layout_page(page)
         if is_rev and text:
             text = reverse_text_block(text)
 
@@ -218,7 +218,7 @@ def extract_raw(doc: P.PDFDocument) -> tuple[str, list[dict]]:
     for page in doc.pages:
         page, _ = L.auto_rotate(page)
         content = page_header(page.number)
-        text = L.render_plain_text(page.runs)
+        text = L.render_plain_page(page)
         if text:
             content += text
         all_text += content + "\n"
