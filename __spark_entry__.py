@@ -555,6 +555,107 @@ def q_claim_id_regex(spark, sf):
                         F.size(F.array_distinct(ids)).alias("n_distinct")))
 
 
+# --- more extraction twins: rotation vote, forward fill, windows, F5 --------
+
+# (page_no, x0, y0, x1, y1) text-block boxes; pages 1-2 vertical-dominant
+_BOX_VALUES = [
+    (1, 10.0, 10.0, 20.0, 90.0), (1, 30.0, 10.0, 40.0, 80.0),
+    (1, 10.0, 100.0, 80.0, 112.0),
+    (2, 5.0, 5.0, 15.0, 60.0), (2, 20.0, 5.0, 30.0, 70.0),
+    (3, 10.0, 10.0, 90.0, 22.0), (3, 10.0, 30.0, 70.0, 42.0),
+]
+
+
+def q_rotation_vote(spark, sf):
+    """A5/T8 relational twin: vertical-vs-horizontal bbox vote per page
+    (reference backend/pdf_rotation.py:5-23)."""
+    df = _values_df(spark, _BOX_VALUES, ["page_no", "x0", "y0", "x1", "y1"])
+    h = F.abs(F.col("y1") - F.col("y0"))
+    w = F.abs(F.col("x1") - F.col("x0"))
+    agg = (df.groupBy("page_no")
+           .agg(F.sum(F.when(h > w, 1).otherwise(0)).alias("vertical_boxes"),
+                F.sum(F.when(h <= w, 1).otherwise(0))
+                 .alias("horizontal_boxes")))
+    return agg.withColumn(
+        "rotate_deg",
+        F.when(F.col("vertical_boxes") > F.col("horizontal_boxes"), 90)
+         .otherwise(0))
+
+
+_LINE_VALUES = [
+    (1, "Loss run report"), (2, "Policy Number: AAA-1"),
+    (3, "claim row one"), (4, "claim row two"),
+    (5, "Policy Number: BBB-2"), (6, "claim row three"),
+    (7, "trailer text"),
+]
+
+
+def q_policy_forward_fill(spark, sf):
+    """G1/W2 relational twin: header spotting + window forward-fill
+    (reference backend/chunked_extractor.py:112-121)."""
+    df = _values_df(spark, _LINE_VALUES, ["line_no", "line"])
+    pol = F.nullif(
+        F.regexp_extract("line", r"Policy Number: ([A-Z0-9\-]+)", 1),
+        F.lit(""))
+    w = (Window.orderBy("line_no")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return df.select(
+        "line_no", "line",
+        F.last(pol, ignorenulls=True).over(w).alias("policy_number"))
+
+
+def q_chunk_windows(spark, sf):
+    """G2 — fixed-size overlapping windows (size 100, stride 80)
+    (reference backend/insurance_extractor.py:551-574 fallback)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 20)
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(80))
+    return (docs.select("doc_id", F.explode(starts).alias("start"),
+                        F.col("text"))
+            .select("doc_id", "start",
+                    F.substring(F.col("text"), F.col("start"), 100)
+                     .alias("chunk"))
+            .withColumn("chunk_len", F.length("chunk")))
+
+
+_WM_VALUES = [
+    (1, "CONFIDENTIAL"), (1, "body line one"), (1, "xx"),
+    (2, "CONFIDENTIAL"), (2, "body line two"), (2, "xx"),
+    (3, "CONFIDENTIAL"), (3, "body line three"), (3, "xx"),
+]
+
+
+def q_watermark_detect(spark, sf):
+    """F5 twin — lines (len ≥ 4) present on every page are watermarks."""
+    df = _values_df(spark, _WM_VALUES, ["page_no", "line"])
+    n_pages = df.select("page_no").distinct().count()
+    return (df.where(F.length("line") >= 4)
+            .groupBy("line")
+            .agg(F.countDistinct("page_no").alias("n_pages"))
+            .where(F.col("n_pages") == n_pages)
+            .select("line"))
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup: top-3 most similar pairs per label
+    bucket (the embedding-space analogue of minhash candidate pairs)."""
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("label"),
+                   F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("label"),
+                   F.col("embedding").alias("emb_b"))
+    pairs = (a.join(b, "label")
+             .where(F.col("vec_a") < F.col("vec_b"))
+             .select("label", "vec_a", "vec_b",
+                     F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 4)
+                      .alias("cosine")))
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).drop("rn"))
+
+
 # --- non-SQL (rows-only checks): the real extraction pipeline ---------------
 
 def q_pipeline_documents(spark, sf):
@@ -562,6 +663,14 @@ def q_pipeline_documents(spark, sf):
     res = run_pipeline(spark, web, output_dir=None, resume=False)
     return res.docs.select("url", "doc_kind", "total_pages",
                            F.length("text").alias("text_chars"))
+
+
+def q_media_features(spark, sf):
+    from insurance_pdf_extractor_spark.multimodal import (
+        extract_media_features)
+    web = _web_pages_from_documents(spark, sf)
+    return extract_media_features(web).select(
+        "url", "media_kind", "n_bytes", "sha256", "entropy", "decoded")
 
 
 def q_pipeline_fixture_claims(spark, sf):
@@ -621,9 +730,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_preview": q_truncation_preview,
         "best_record_per_group": q_best_record_per_group,
         "claim_id_regex": q_claim_id_regex,
-        # non-SQL: full pipeline (rows-only checks)
+        "rotation_vote": q_rotation_vote,
+        "policy_forward_fill": q_policy_forward_fill,
+        "chunk_windows": q_chunk_windows,
+        "watermark_detect": q_watermark_detect,
+        "embedding_near_dup": q_embedding_near_dup,
+        # non-SQL: full pipeline + multimodal plumbing (rows-only checks)
         "pipeline_documents": q_pipeline_documents,
         "pipeline_fixture_claims": q_pipeline_fixture_claims,
+        "media_features": q_media_features,
     }
 
 
@@ -1021,6 +1136,59 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
                       ORDER BY n_chars DESC, doc_id) AS rn
                   FROM documents) WHERE rn = 1""",
+        "rotation_vote": f"""
+            SELECT page_no,
+                   sum(CASE WHEN abs(y1 - y0) > abs(x1 - x0)
+                            THEN 1 ELSE 0 END) AS vertical_boxes,
+                   sum(CASE WHEN abs(y1 - y0) <= abs(x1 - x0)
+                            THEN 1 ELSE 0 END) AS horizontal_boxes,
+                   CASE WHEN sum(CASE WHEN abs(y1 - y0) > abs(x1 - x0)
+                                      THEN 1 ELSE 0 END)
+                             > sum(CASE WHEN abs(y1 - y0) <= abs(x1 - x0)
+                                        THEN 1 ELSE 0 END)
+                        THEN 90 ELSE 0 END AS rotate_deg
+            FROM {_values_sql(_BOX_VALUES,
+                              ['page_no', 'x0', 'y0', 'x1', 'y1'])}
+            GROUP BY page_no""",
+        "policy_forward_fill": f"""
+            SELECT line_no, line,
+                   last_value(nullif(regexp_extract(line,
+                       'Policy Number: ([A-Z0-9\\-]+)', 1), '')
+                       IGNORE NULLS) OVER (ORDER BY line_no
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS policy_number
+            FROM {_values_sql(_LINE_VALUES, ['line_no', 'line'])}""",
+        "chunk_windows": """
+            SELECT doc_id, start,
+                   substr(text, start, 100) AS chunk,
+                   length(substr(text, start, 100)) AS chunk_len
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) + 1, 80)) AS start
+                  FROM documents WHERE doc_id < 20)""",
+        "watermark_detect": f"""
+            WITH pages AS (
+              SELECT * FROM {_values_sql(_WM_VALUES, ['page_no', 'line'])})
+            SELECT line FROM pages
+            WHERE length(line) >= 4
+            GROUP BY line
+            HAVING count(DISTINCT page_no) =
+                   (SELECT count(DISTINCT page_no) FROM pages)""",
+        "embedding_near_dup": """
+            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200),
+            pairs AS (
+              SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_dot_product(a.embedding, b.embedding) /
+                           (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding,
+                                                    b.embedding))), 4)
+                         AS cosine
+              FROM e a JOIN e b ON a.label = b.label
+              WHERE a.vec_id < b.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY label
+                  ORDER BY cosine DESC, vec_a, vec_b) AS rn
+              FROM pairs)
+            SELECT label, vec_a, vec_b, cosine FROM ranked WHERE rn <= 3""",
         "claim_id_regex": """
             SELECT doc_id,
                    len(regexp_extract_all(text,

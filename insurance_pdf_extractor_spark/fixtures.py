@@ -46,7 +46,8 @@ CLAIM_HEADER = ["Claim Number", "Claimant", "Status", "Date of Injury",
 CLAIM_COL_W = [86, 120, 62, 84, 72, 76, 76, 76, 76, 90]
 
 DOC_CLASS_WEIGHTS = [
-    ("loss_run_pdf", 34),
+    ("watermark_pdf", 4),
+    ("loss_run_pdf", 30),
     ("multi_policy_pdf", 10),
     ("invoice_pdf", 8),
     ("scanned_pdf", 8),
@@ -282,6 +283,24 @@ def make_recovery_pdf(rng: random.Random) -> bytes:
     return w.tobytes()
 
 
+def make_watermark_pdf(rng: random.Random) -> bytes:
+    """Same watermark line on every page → F5 frequency rule strips it."""
+    w = PDFWriter()
+    wm = rng.choice(["CONFIDENTIAL - INTERNAL USE ONLY", "DRAFT COPY",
+                     "PROPERTY OF " + rng.choice(COMPANIES)])
+    policy = f"P-{rng.randint(2019, 2024)}-{rng.randint(1000, 9999)}"
+    for p in range(2):
+        pg = w.add_page(width=1008, height=792)
+        pg.text(620, 16, wm, size=9)
+        if p == 0:
+            y = _preamble(pg, rng, policy, rng.choice(COMPANIES))
+            _claims_table(pg, rng, y, rng.randint(2, 4))
+        else:
+            pg.text(50, 60, f"Supplementary notes for page {p + 1} of the "
+                            "filing with additional remarks.")
+    return w.tobytes()
+
+
 NAV_LINKS = ["Home", "About", "Products", "Pricing", "Careers", "Contact",
              "Blog", "Support", "Login", "Sign up"]
 ARTICLE_SENTENCES = [
@@ -334,6 +353,7 @@ def make_text_only(rng: random.Random) -> str:
 
 
 _MAKERS = {
+    "watermark_pdf": make_watermark_pdf,
     "loss_run_pdf": make_loss_run_pdf,
     "multi_policy_pdf": make_multi_policy_pdf,
     "invoice_pdf": make_invoice_pdf,

@@ -1,0 +1,136 @@
+"""Multimodal binary-column operators (training-data-pipeline mandate).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing — schema, Arrow batching, partition behavior,
+UDF signatures — is real and tested; the actual media DECODE is stubbed:
+no image/audio libraries exist in this container, so the decode step
+either raises NotImplementedError (real-engine injection point) or runs
+the clearly-marked deterministic fake (byte-histogram features), exactly
+as the task brief prescribes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .lineage import emit_partition_metrics
+
+MEDIA_FEATURES = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("media_kind", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("sha256", T.StringType(), True),
+    T.StructField("entropy", T.DoubleType(), True),
+    T.StructField("byte_histogram", T.ArrayType(T.FloatType()), True),
+    T.StructField("decoded", T.BooleanType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+_MAGIC = [
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff_av"),      # wav/avi/webp container
+    (b"\x00\x00\x00", "mp4_maybe"),
+    (b"%PDF-", "pdf"),
+    (b"ID3", "mp3"),
+    (b"OggS", "ogg"),
+]
+
+
+def sniff_media_kind(data: bytes | None) -> str:
+    if not data:
+        return "empty"
+    for magic, kind in _MAGIC:
+        if data.startswith(magic):
+            return kind
+    head = data[:256].lower()
+    if b"<html" in head or b"<!doctype" in head:
+        return "html"
+    return "unknown"
+
+
+def decode_media(_data: bytes, _kind: str):  # pragma: no cover - stub
+    """Real decoder injection point (PIL / ffmpeg / torchaudio live here
+    on a cluster image). This sandbox ships none of them."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in "
+        "this environment; the deterministic byte-histogram fake below "
+        "is used for tests/benchmarks instead")
+
+
+def fake_features(data: bytes, bins: int = 16) -> tuple[float, list[float]]:
+    """DETERMINISTIC FAKE feature extractor: coarse byte histogram
+    (normalized) + Shannon entropy over it. Stands in for image
+    embeddings so the distributed plumbing is fully exercised."""
+    if not data:
+        return 0.0, [0.0] * bins
+    counts = [0] * bins
+    step = 256 // bins
+    for b in data:
+        counts[b // step] += 1
+    n = len(data)
+    hist = [c / n for c in counts]
+    entropy = -sum(p * math.log2(p) for p in hist if p > 0)
+    return round(entropy, 6), [round(h, 6) for h in hist]
+
+
+def make_media_fn(run_id: str, metrics_dir: str | None, use_fake: bool = True):
+    def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        docs = 0
+        n_bytes_total = 0
+        fails = 0
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MEDIA_FEATURES.fields}
+            for url, data in zip(pdf["url"], pdf["html"]):
+                docs += 1
+                data = bytes(data) if data is not None else None
+                n = len(data) if data else 0
+                n_bytes_total += n
+                kind = sniff_media_kind(data)
+                decoded = False
+                err = None
+                entropy = None
+                hist = None
+                if data:
+                    try:
+                        if use_fake:
+                            entropy, hist = fake_features(data)
+                            decoded = True
+                        else:
+                            decode_media(data, kind)
+                    except NotImplementedError as exc:
+                        err = str(exc)[:120]
+                        fails += 1
+                out["url"].append(url)
+                out["media_kind"].append(kind)
+                out["n_bytes"].append(n)
+                out["sha256"].append(
+                    hashlib.sha256(data).hexdigest() if data else None)
+                out["entropy"].append(entropy)
+                out["byte_histogram"].append(hist)
+                out["decoded"].append(decoded)
+                out["decode_error"].append(err)
+            df = pd.DataFrame(out)
+            df["n_bytes"] = df["n_bytes"].astype("int64")
+            yield df
+        emit_partition_metrics(metrics_dir, run_id, "media", docs,
+                               n_bytes_total, fails,
+                               int((time.monotonic() - t0) * 1000))
+    return media_fn
+
+
+def extract_media_features(df: DataFrame, run_id: str = "media",
+                           metrics_dir: str | None = None,
+                           use_fake: bool = True) -> DataFrame:
+    """web_pages(url, html, …) → MEDIA_FEATURES rows (one per doc)."""
+    return df.select("url", "html").mapInPandas(
+        make_media_fn(run_id, metrics_dir, use_fake), schema=MEDIA_FEATURES)

@@ -82,6 +82,47 @@ def reverse_text_block(text: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# watermark detection + removal — F5
+# (reference backend/pdf_plumber.py:84-101; detection was a GPT-4o call at
+# :13-81, rebuilt as the deterministic repeated-line frequency rule from
+# SURVEY.md §2.2: a line recurring on every sampled page is chrome, not
+# content)
+# --------------------------------------------------------------------------
+
+WATERMARK_SAMPLE_PAGES = 5   # reference samples first 5 pages (:36)
+WATERMARK_MIN_LEN = 4
+
+
+def detect_watermarks(page_texts: list[str]) -> list[str]:
+    """Lines (stripped) of length ≥4 present on EVERY sampled page of a
+    multi-page document are watermarks."""
+    if len(page_texts) < 2:
+        return []
+    sample = page_texts[:WATERMARK_SAMPLE_PAGES]
+    line_sets = []
+    for t in sample:
+        lines = {ln.strip() for ln in (t or "").split("\n")}
+        line_sets.append({ln for ln in lines if len(ln) >= WATERMARK_MIN_LEN})
+    common = set.intersection(*line_sets) if line_sets else set()
+    # page banners are framing, not watermarks
+    common = {ln for ln in common
+              if not ln.startswith("=") and not ln.startswith("PAGE ")}
+    return sorted(common)
+
+
+def filter_watermark_text(text: str, watermarks: list[str]) -> str:
+    """Exact + case-insensitive removal (reference pdf_plumber.py:84-101)."""
+    if not watermarks:
+        return text
+    out = text
+    for wm in watermarks:
+        if wm and wm.strip():
+            out = out.replace(wm, "")
+            out = re.compile(re.escape(wm), re.IGNORECASE).sub("", out)
+    return out
+
+
+# --------------------------------------------------------------------------
 # sniff (F2/F7)
 # --------------------------------------------------------------------------
 
@@ -135,6 +176,8 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
     """Layout-preserving extraction with [TABLE n] blocks and crops."""
     all_text = DOC_HEADER_PLUMBER
     pages_meta: list[dict] = []
+    body_regions: list[str] = []  # per-page NON-table text (F5 detection
+    # must ignore table blocks: headers legitimately repeat across pages)
 
     is_rev = False
     if doc.pages:
@@ -149,6 +192,7 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
         if is_rev and text:
             text = reverse_text_block(text)
 
+        body_parts: list[str] = []
         if tables:
             first = tables[0]
             if first.bbox[1] > 0:
@@ -158,6 +202,7 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
                     if is_rev:
                         top_text = reverse_text_block(top_text)
                     content += top_text + "\n\n"
+                    body_parts.append(top_text)
             for idx, tbl in enumerate(tables, start=1):
                 rows = tbl.rows
                 if is_rev:
@@ -176,6 +221,7 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
                             if is_rev:
                                 mid_text = reverse_text_block(mid_text)
                             content += mid_text + "\n\n"
+                            body_parts.append(mid_text)
             last = tables[-1]
             if last.bbox[3] < page.height:
                 bot = L.crop_runs(page.runs, last.bbox[3], page.height)
@@ -184,9 +230,11 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
                     if is_rev:
                         bot_text = reverse_text_block(bot_text)
                     content += bot_text + "\n"
+                    body_parts.append(bot_text)
         else:
             if text:
                 content += text + "\n"
+                body_parts.append(text)
 
         # F4 blank-page predicate: <10 chars of body ⇒ explicit marker
         # (reference backend/pdf_text.py:74-77)
@@ -205,6 +253,14 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
             "confidence": 0.0 if blank else 1.0,
             "word_boxes": L.word_boxes(page),
         })
+        body_regions.append("\n".join(body_parts))
+
+    # F5 — watermark strip over the whole document
+    watermarks = detect_watermarks(body_regions)
+    if watermarks:
+        all_text = filter_watermark_text(all_text, watermarks)
+        for meta in pages_meta:
+            meta["text"] = filter_watermark_text(meta["text"], watermarks)
     return all_text, pages_meta
 
 

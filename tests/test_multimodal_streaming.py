@@ -1,0 +1,95 @@
+"""Multimodal binary plumbing + streaming ingest + watermark F5."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from insurance_pdf_extractor_spark import textops
+
+
+class TestWatermark:
+    def test_detects_common_lines(self):
+        pages = ["CONFIDENTIAL\nbody one here", "CONFIDENTIAL\nbody two"]
+        assert textops.detect_watermarks(pages) == ["CONFIDENTIAL"]
+
+    def test_single_page_never(self):
+        assert textops.detect_watermarks(["CONFIDENTIAL\nbody"]) == []
+
+    def test_short_lines_ignored(self):
+        pages = ["ok\nunique a", "ok\nunique b"]
+        assert textops.detect_watermarks(pages) == []
+
+    def test_filter_case_insensitive(self):
+        out = textops.filter_watermark_text("x Confidential y", ["CONFIDENTIAL"])
+        assert "onfidential" not in out
+
+    def test_end_to_end(self):
+        import random
+        from insurance_pdf_extractor_spark.fixtures import make_watermark_pdf
+        r = textops.extract_pdf_document(make_watermark_pdf(random.Random(9)))
+        assert r["doc_kind"] == "pdf_digital"
+        for wm in ("CONFIDENTIAL", "DRAFT COPY", "PROPERTY OF"):
+            assert wm not in r["text"]
+        assert "[TABLE 1]" in r["text"]  # content preserved
+
+
+class TestMultimodal:
+    def test_media_features(self, spark, web_pages):
+        from insurance_pdf_extractor_spark.multimodal import (
+            extract_media_features)
+        feats = extract_media_features(web_pages).cache()
+        assert feats.count() == web_pages.count()
+        kinds = {r[0] for r in feats.select("media_kind").distinct().collect()}
+        assert "pdf" in kinds and "html" in kinds
+        row = feats.where(F.col("media_kind") == "pdf").first()
+        assert row["decoded"] is True
+        assert len(row["byte_histogram"]) == 16
+        assert abs(sum(row["byte_histogram"]) - 1.0) < 1e-3
+        assert 0.0 < row["entropy"] <= 4.0  # ≤ log2(16)
+        assert row["sha256"] and len(row["sha256"]) == 64
+
+    def test_decode_stub_raises(self, spark, web_pages):
+        from insurance_pdf_extractor_spark.multimodal import (
+            extract_media_features)
+        feats = extract_media_features(web_pages.limit(8), use_fake=False)
+        rows = feats.where(F.col("n_bytes") > 0).collect()
+        assert rows
+        for r in rows:
+            assert r["decoded"] is False
+            assert "not present" in (r["decode_error"] or "")
+
+    def test_fake_features_deterministic(self):
+        from insurance_pdf_extractor_spark.multimodal import fake_features
+        a = fake_features(b"hello world" * 10)
+        b = fake_features(b"hello world" * 10)
+        assert a == b
+        assert fake_features(b"") == (0.0, [0.0] * 16)
+
+
+class TestStreamingIngest:
+    def test_available_now_resumable(self, spark, fixture_rows, tmp_path):
+        from insurance_pdf_extractor_spark.schemas import WEB_PAGES
+        from insurance_pdf_extractor_spark.streaming import (
+            ingest_available_now)
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        df = spark.createDataFrame(fixture_rows[:20], schema=WEB_PAGES)
+        df.write.mode("append").parquet(landing)
+
+        n1 = ingest_available_now(spark, landing, out)
+        assert n1 >= 1
+        docs = spark.read.parquet(os.path.join(out, "docs"))
+        assert docs.count() == 20
+
+        # new files land → only the delta is processed
+        df2 = spark.createDataFrame(fixture_rows[20:30], schema=WEB_PAGES)
+        df2.write.mode("append").parquet(landing)
+        ingest_available_now(spark, landing, out)
+        docs = spark.read.parquet(os.path.join(out, "docs"))
+        assert docs.count() == 30
+        assert docs.select("url").distinct().count() == 30
+
+        # re-run with nothing new → zero growth
+        ingest_available_now(spark, landing, out)
+        assert spark.read.parquet(os.path.join(out, "docs")).count() == 30
