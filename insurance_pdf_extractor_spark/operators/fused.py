@@ -36,14 +36,21 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
         tok_ms = 0.0
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in _OUT_COLS}
-            for url, ts, html, text, lang, kind0 in zip(
+            for url, ts, html, text, lang, kind0, oversize in zip(
                     pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
-                    pdf["lang"], pdf["doc_kind0"]):
+                    pdf["lang"], pdf["doc_kind0"], pdf["oversize"]):
                 docs += 1
                 in_bytes += len(html) if html is not None else 0
                 tk0 = time.monotonic()
                 try:
-                    res = _extract_one(kind0, html, text)
+                    if oversize:
+                        # reference rejects >50 MB uploads (backend/app.py:35);
+                        # rejects are routed to lineage, not silently dropped
+                        res = dict(_EMPTY)
+                        res["doc_kind"] = "oversize"
+                        res["error"] = "document exceeds 50 MB cap"
+                    else:
+                        res = _extract_one(kind0, html, text)
                 except Exception as exc:
                     res = dict(_EMPTY)
                     res["doc_kind"] = f"{kind0}_error"
@@ -87,6 +94,7 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
 
 def tokenize_and_extract(df, run_id: str, metrics_dir: str | None = None):
     """(sniffed web_pages) → FIELDS_OUT in a single Arrow crossing."""
-    cols = ["url", "warc_ts", "html", "text", "lang", "doc_kind0"]
+    cols = ["url", "warc_ts", "html", "text", "lang", "doc_kind0",
+            "oversize"]
     return df.select(*cols).mapInPandas(
         make_fused_fn(run_id, metrics_dir), schema=FIELDS_OUT)
