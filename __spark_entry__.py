@@ -307,7 +307,7 @@ def q_doc_stats(spark, sf):
 def q_token_counts(spark, sf):
     docs = _t(spark, sf, "documents")
     return (docs
-            .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+            .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")).cast("long"))
             .withColumn("est_tokens", C.token_estimate(F.col("text")))
             .groupBy("lang")
             .agg(F.sum("n_tokens").alias("sum_tokens"),
@@ -326,7 +326,7 @@ def q_quality_score(spark, sf):
                     - F.when(n_words < 30, 0.3).otherwise(0.0)
                     - F.when(stop_ratio < 0.02, 0.3).otherwise(0.0)
                     - F.when(avg_word_len < 3.0, 0.2).otherwise(0.0), 2)
-    return docs.select("doc_id", n_words.alias("n_words"),
+    return docs.select("doc_id", n_words.cast("long").alias("n_words"),
                        stop_ratio.alias("stop_ratio"),
                        avg_word_len.alias("avg_word_len"),
                        score.alias("quality_score"))
@@ -450,7 +450,7 @@ def q_simhash16(spark, sf):
     agg = w.groupBy("doc_id").agg(*votes)
     sim = sum((F.when(F.col(f"v{i}") > 0, 1).otherwise(0)
                * F.lit(2 ** i)) for i in range(16))
-    return agg.select("doc_id", sim.alias("simhash"))
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 # --- embeddings: similarity search ------------------------------------------
@@ -551,8 +551,9 @@ def q_claim_id_regex(spark, sf):
     docs = _t(spark, sf, "documents")
     ids = F.regexp_extract_all(F.col("text"),
                                F.lit(r"\b(scan|hash|merge)\b"), F.lit(1))
-    return (docs.select("doc_id", F.size(ids).alias("n_ids"),
-                        F.size(F.array_distinct(ids)).alias("n_distinct")))
+    return (docs.select("doc_id", F.size(ids).cast("long").alias("n_ids"),
+                        F.size(F.array_distinct(ids)).cast("long")
+                         .alias("n_distinct")))
 
 
 # --- more extraction twins: rotation vote, forward fill, windows, F5 --------
@@ -611,10 +612,10 @@ def q_chunk_windows(spark, sf):
     starts = F.sequence(F.lit(1), F.length("text"), F.lit(80))
     return (docs.select("doc_id", F.explode(starts).alias("start"),
                         F.col("text"))
-            .select("doc_id", "start",
+            .select("doc_id", F.col("start").cast("long").alias("start"),
                     F.substring(F.col("text"), F.col("start"), 100)
                      .alias("chunk"))
-            .withColumn("chunk_len", F.length("chunk")))
+            .withColumn("chunk_len", F.length("chunk").cast("long")))
 
 
 _WM_VALUES = [
@@ -861,7 +862,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_nationkey""",
         "json_props_sum": """
             SELECT event_type,
-                   sum(cast(json_extract_string(props, '$.k') as int))
+                   CAST(sum(cast(json_extract_string(props, '$.k') as int)) AS BIGINT)
                        AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type""",
@@ -937,15 +938,15 @@ def oracle_sql() -> dict[str, str]:
                                            plist=phantoms)}""",
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
-                   sum(length(text)) AS total_chars,
-                   sum(n_chars) AS total_nchars,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_nchars,
                    round(avg(length(text)), 4) AS avg_chars
             FROM documents GROUP BY source""",
         "token_counts": """
             SELECT lang,
-                   sum(len(regexp_split_to_array(text, '\\s+')))
+                   CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
                        AS sum_tokens,
-                   sum(length(text) // 4) AS sum_est_tokens,
+                   CAST(sum(length(text) // 4) AS BIGINT) AS sum_est_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang""",
         "quality_score": f"""
@@ -997,7 +998,7 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS copies, min(doc_id) AS keeper_doc_id
               FROM documents GROUP BY 1)
             SELECT count(*) AS distinct_docs,
-                   sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS dup_groups
+                   CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
             FROM fp""",
         "ngram_jaccard_pairs": f"""
             WITH corpus AS (
@@ -1066,7 +1067,7 @@ def oracle_sql() -> dict[str, str]:
                      {cols}
               FROM w GROUP BY doc_id
             )
-            SELECT doc_id, {sim} AS simhash FROM votes""".format(
+            SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes""".format(
             cols=", ".join(
                 f"sum(CASE WHEN ascii(substr(h, {i+1}, 1)) % 2 = 1 "
                 f"THEN 1 ELSE -1 END) AS v{i}" for i in range(16)),
@@ -1137,11 +1138,11 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n_chars DESC, doc_id) AS rn
                   FROM documents) WHERE rn = 1""",
         "rotation_vote": f"""
-            SELECT page_no,
-                   sum(CASE WHEN abs(y1 - y0) > abs(x1 - x0)
-                            THEN 1 ELSE 0 END) AS vertical_boxes,
-                   sum(CASE WHEN abs(y1 - y0) <= abs(x1 - x0)
-                            THEN 1 ELSE 0 END) AS horizontal_boxes,
+            SELECT CAST(page_no AS BIGINT) AS page_no,
+                   CAST(sum(CASE WHEN abs(y1 - y0) > abs(x1 - x0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS vertical_boxes,
+                   CAST(sum(CASE WHEN abs(y1 - y0) <= abs(x1 - x0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS horizontal_boxes,
                    CASE WHEN sum(CASE WHEN abs(y1 - y0) > abs(x1 - x0)
                                       THEN 1 ELSE 0 END)
                              > sum(CASE WHEN abs(y1 - y0) <= abs(x1 - x0)
@@ -1151,7 +1152,7 @@ def oracle_sql() -> dict[str, str]:
                               ['page_no', 'x0', 'y0', 'x1', 'y1'])}
             GROUP BY page_no""",
         "policy_forward_fill": f"""
-            SELECT line_no, line,
+            SELECT CAST(line_no AS BIGINT) AS line_no, line,
                    last_value(nullif(regexp_extract(line,
                        'Policy Number: ([A-Z0-9\\-]+)', 1), '')
                        IGNORE NULLS) OVER (ORDER BY line_no
@@ -1159,9 +1160,10 @@ def oracle_sql() -> dict[str, str]:
                        AS policy_number
             FROM {_values_sql(_LINE_VALUES, ['line_no', 'line'])}""",
         "chunk_windows": """
-            SELECT doc_id, start,
+            SELECT doc_id, CAST(start AS BIGINT) AS start,
                    substr(text, start, 100) AS chunk,
-                   length(substr(text, start, 100)) AS chunk_len
+                   CAST(length(substr(text, start, 100)) AS BIGINT)
+                       AS chunk_len
             FROM (SELECT doc_id, text,
                          unnest(range(1, length(text) + 1, 80)) AS start
                   FROM documents WHERE doc_id < 20)""",
@@ -1191,9 +1193,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, vec_a, vec_b, cosine FROM ranked WHERE rn <= 3""",
         "claim_id_regex": """
             SELECT doc_id,
-                   len(regexp_extract_all(text,
-                       '\\b(scan|hash|merge)\\b', 1)) AS n_ids,
-                   len(list_distinct(regexp_extract_all(text,
-                       '\\b(scan|hash|merge)\\b', 1))) AS n_distinct
+                   CAST(len(regexp_extract_all(text,
+                       '\\b(scan|hash|merge)\\b', 1)) AS BIGINT) AS n_ids,
+                   CAST(len(list_distinct(regexp_extract_all(text,
+                       '\\b(scan|hash|merge)\\b', 1))) AS BIGINT) AS n_distinct
             FROM documents""",
     }

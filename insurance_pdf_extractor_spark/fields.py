@@ -58,7 +58,8 @@ CLAIM_FIELDS = ["claim_number", "employee_name", "status", "injury_date_time",
                 "injury_type", "body_part", "claim_class",
                 "injury_description", "medical_paid", "medical_reserve",
                 "indemnity_paid", "indemnity_reserve", "expense_paid",
-                "expense_reserve", "recovery", "deductible", "total_incurred"]
+                "expense_reserve", "recovery", "deductible", "total_incurred",
+                "extraction_source"]
 
 POLICY_HEADER_RE = re.compile(
     r"(?:Policy\s*(?:Number|#|No\.?)|Pol\s*#)\s*:?[ \t]*([A-Z0-9][A-Z0-9\-]{2,})?",
@@ -165,6 +166,7 @@ def claims_from_tables(text: str) -> list[dict]:
                 if i < len(row) and row[i]:
                     claim[canon] = row[i]
             if claim["claim_number"]:
+                claim["extraction_source"] = "table"
                 claims.append(claim)
     return claims
 
@@ -181,6 +183,7 @@ def claims_from_lines(text: str) -> list[dict]:
             continue
         claim = {f: None for f in CLAIM_FIELDS}
         claim["claim_number"] = token
+        claim["extraction_source"] = "line"
         ms = LINE_STATUS_RE.search(line[m.end():])
         if ms:
             claim["status"] = ms.group(1)

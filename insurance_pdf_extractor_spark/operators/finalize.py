@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .. import funcs as C
 
 _STR_FIELDS = ["policy_number", "body_part", "claim_class",
-               "injury_description"]
+               "injury_description", "extraction_source"]
 
 
 def typed_claims(fields_df: DataFrame) -> DataFrame:
@@ -132,13 +132,21 @@ CLAIM_OUT_COLS = [
     "claim_year", "injury_type", "body_part", "claim_class",
     "injury_description", "policy_number",
     *C.CURRENCY_FIELDS, "math_valid", "math_diff", "quality",
-    "nonzero_fields",
+    "nonzero_fields", "confidence_score",
 ]
 
 
 def finalize(fields_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """FIELDS_OUT → (claims table, documents table)."""
     claims = filter_phantoms(dedup_claims(typed_claims(fields_df)))
+    # deterministic stand-in for the reference's per-claim confidence
+    # (InsuranceClaim.confidence_score, insurance_extractor.py:71):
+    # ruled-table rows are high-confidence, line-regex spots lower
+    claims = claims.withColumn(
+        "confidence_score",
+        F.when(F.col("extraction_source") == "table", 1.0)
+         .when(F.col("extraction_source") == "line", 0.6)
+         .otherwise(0.5))
     claims = claims.select("url", "pos", *CLAIM_OUT_COLS)
 
     per_doc = claims.groupBy("url").agg(

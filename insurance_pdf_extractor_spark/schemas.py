@@ -54,6 +54,7 @@ CLAIM_RAW = T.StructType([
         "medical_paid", "medical_reserve", "indemnity_paid",
         "indemnity_reserve", "expense_paid", "expense_reserve",
         "recovery", "deductible", "total_incurred", "policy_number",
+        "extraction_source",
     ]
 ])
 
