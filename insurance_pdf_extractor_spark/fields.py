@@ -202,15 +202,24 @@ def extract_claims(chunk_text: str) -> list[dict]:
 
 
 def extract_document_fields(text: str) -> dict:
-    """text → {policy_number(s), insured_name, report_date, claims(raw)}.
+    """text → {policy_number(s), insured_name, report_date, claims(raw),
+    field_spans}.
 
     Mirrors the reference lifecycle: segment → per-chunk extraction →
     merge with distinct-policy join (backend/chunked_extractor.py:276-369).
+    ``field_spans`` carries the character offsets of every spotted
+    document-level field in the extracted text — the per-url span
+    artifact the north_star pairs with the byte-identical text.
     """
     boundaries = detect_policy_boundaries(text)
     chunks = split_into_chunks(text, boundaries)
     claims: list[dict] = []
     policies: set[str] = set()
+    spans: list[dict] = []
+    for b in boundaries:
+        spans.append({"field": "policy_number", "value": b["policy_number"],
+                      "start": b["start_index"],
+                      "end": b["start_index"] + len(b["policy_number"])})
     for ch in chunks:
         for c in extract_claims(ch["text"]):
             c["policy_number"] = ch["policy_number"]
@@ -219,9 +228,15 @@ def extract_document_fields(text: str) -> dict:
             policies.add(ch["policy_number"])
     m = INSURED_RE.search(text)
     insured = m.group(1).strip() if m else None
+    if m:
+        spans.append({"field": "insured_name", "value": insured,
+                      "start": m.start(1), "end": m.end(1)})
     md = REPORT_DATE_RE.search(text)
     report_date = md.group(1) if md else None
+    if md:
+        spans.append({"field": "report_date", "value": report_date,
+                      "start": md.start(1), "end": md.end(1)})
     policy_number = ", ".join(sorted(policies)) if policies else None
     return {"policy_number": policy_number, "insured_name": insured,
             "report_date": report_date, "num_chunks": len(chunks),
-            "claims": claims}
+            "claims": claims, "field_spans": spans}

@@ -34,7 +34,8 @@ def emit_partition_metrics(metrics_dir: str | None, run_id: str, stage: str,
     attempt = tc.attemptNumber() if tc is not None else 0
     row = {"run_id": run_id, "stage": stage, "partition_id": pid,
            "doc_count": doc_count, "bytes": n_bytes,
-           "fail_count": fail_count, "wall_ms": wall_ms}
+           "fail_count": fail_count, "wall_ms": wall_ms,
+           "attempt": attempt}
     os.makedirs(metrics_dir, exist_ok=True)
     # attempt id + uuid in the name → task retries never corrupt a file;
     # readers dedup on (run_id, stage, partition_id) keeping max attempt
@@ -48,6 +49,8 @@ def emit_partition_metrics(metrics_dir: str | None, run_id: str, stage: str,
 
 
 def read_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """Load lineage rows, deduping task retries: one row per
+    (run_id, stage, partition_id), highest attempt wins."""
     rows = []
     if os.path.isdir(metrics_dir):
         for name in sorted(os.listdir(metrics_dir)):
@@ -58,5 +61,12 @@ def read_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
                     rows.append(json.load(f))
             except (OSError, json.JSONDecodeError):
                 continue
+    best: dict[tuple, dict] = {}
+    for r in rows:
+        key = (r["run_id"], r["stage"], r["partition_id"])
+        if key not in best or r.get("attempt", 0) > best[key].get("attempt", 0):
+            best[key] = r
+    rows = [{k: v for k, v in r.items() if k != "attempt"}
+            for r in best.values()]
     return spark.createDataFrame(rows, schema=METRICS) if rows else \
         spark.createDataFrame([], schema=METRICS)

@@ -33,6 +33,7 @@ def make_fields_fn(run_id: str, metrics_dir: str | None):
         for pdf in batches:
             out = pdf.copy()
             policy, insured, rdate, nchunks, claims = [], [], [], [], []
+            spans = []
             for text in pdf["text"]:
                 docs += 1
                 n_bytes += len(text) if text else 0
@@ -41,7 +42,8 @@ def make_fields_fn(run_id: str, metrics_dir: str | None):
                 except Exception:
                     fails += 1
                     res = {"policy_number": None, "insured_name": None,
-                           "report_date": None, "num_chunks": 0, "claims": []}
+                           "report_date": None, "num_chunks": 0,
+                           "claims": [], "field_spans": []}
                 policy.append(res["policy_number"])
                 insured.append(res["insured_name"])
                 rdate.append(res["report_date"])
@@ -49,11 +51,13 @@ def make_fields_fn(run_id: str, metrics_dir: str | None):
                 claims.append([
                     {k: c.get(k) for k in _CLAIM_KEYS} for c in res["claims"]
                 ])
+                spans.append(res.get("field_spans", []))
             out["policy_number"] = policy
             out["insured_name"] = insured
             out["report_date"] = rdate
             out["num_chunks"] = pd.array(nchunks, dtype="int32")
             out["claims_raw"] = claims
+            out["field_spans"] = spans
             yield out
         emit_partition_metrics(metrics_dir, run_id, "fields", docs, n_bytes,
                                fails, int((time.monotonic() - t0) * 1000))

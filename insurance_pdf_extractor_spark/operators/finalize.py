@@ -161,7 +161,7 @@ def finalize(fields_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     docs = fields_df.select(
         "url", "warc_ts", "lang", "doc_kind", "text",
         "policy_number", "insured_name", "report_date", "num_chunks",
-        "fallback_used", "recovered_claims", "error",
+        "field_spans", "fallback_used", "recovered_claims", "error",
         F.size("pages").alias("total_pages"),                           # pages
         F.aggregate("pages", F.lit(0),
                     lambda acc, p: acc + p["is_scanned"].cast("int"))

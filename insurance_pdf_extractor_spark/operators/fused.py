@@ -64,7 +64,7 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
                     fld_fails += 1
                     fld = {"policy_number": None, "insured_name": None,
                            "report_date": None, "num_chunks": 0,
-                           "claims": []}
+                           "claims": [], "field_spans": []}
                 out["url"].append(url)
                 out["warc_ts"].append(ts)
                 out["lang"].append(lang)
@@ -81,6 +81,7 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
                 out["claims_raw"].append(
                     [{k: c.get(k) for k in _CLAIM_KEYS}
                      for c in fld["claims"]])
+                out["field_spans"].append(fld.get("field_spans", []))
             out["num_chunks"] = pd.array(out["num_chunks"], dtype="int32")
             yield pd.DataFrame(out)
         wall = time.monotonic() - t0

@@ -58,6 +58,13 @@ CLAIM_RAW = T.StructType([
     ]
 ])
 
+FIELD_SPAN = T.StructType([
+    T.StructField("field", T.StringType(), True),
+    T.StructField("value", T.StringType(), True),
+    T.StructField("start", T.IntegerType(), True),
+    T.StructField("end", T.IntegerType(), True),
+])
+
 FIELDS_OUT = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("warc_ts", T.TimestampType(), True),
@@ -73,6 +80,7 @@ FIELDS_OUT = T.StructType([
     T.StructField("report_date", T.StringType(), True),
     T.StructField("num_chunks", T.IntegerType(), True),
     T.StructField("claims_raw", T.ArrayType(CLAIM_RAW), True),
+    T.StructField("field_spans", T.ArrayType(FIELD_SPAN), True),
 ])
 
 # lineage/metrics table (FIXTURES.md §4; mandated by north_rule)

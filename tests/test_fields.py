@@ -87,3 +87,23 @@ class TestClaims:
         assert res["policy_number"] == "P-1, P-2"
         assert len(res["claims"]) == 4
         assert {c["policy_number"] for c in res["claims"]} == {"P-1", "P-2"}
+
+
+class TestFieldSpans:
+    def test_spans_index_into_text(self):
+        text = ("Intro line\nPolicy Number: ABC-123\nInsured Name: ACME LLC\n"
+                "Report produced on 2024-01-05\nPolicy Number: XYZ-9\nbody")
+        res = FX.extract_document_fields(text)
+        spans = {(s["field"], s["value"]): s for s in res["field_spans"]}
+        assert ("policy_number", "ABC-123") in spans
+        assert ("policy_number", "XYZ-9") in spans
+        ins = spans[("insured_name", "ACME LLC")]
+        assert text[ins["start"]:ins["end"]] == "ACME LLC"
+        rd = spans[("report_date", "2024-01-05")]
+        assert text[rd["start"]:rd["end"]] == "2024-01-05"
+        # policy span starts at the HEADER (chunk boundary semantics)
+        p1 = spans[("policy_number", "ABC-123")]
+        assert text[p1["start"]:].startswith("Policy Number: ABC-123")
+
+    def test_spans_empty_for_plain_text(self):
+        assert FX.extract_document_fields("nothing here")["field_spans"] == []
