@@ -59,3 +59,20 @@ def test_claims_csv_sink(spark, pipeline_result, tmp_path):
     assert rows == pipeline_result.claims.count()
     assert "claim_number" in header and "source_url" in header
     assert "url" not in header
+
+
+def test_report_json_views(spark, pipeline_result):
+    import json
+    from insurance_pdf_extractor_spark.report import with_report_json
+    docs = with_report_json(pipeline_result.docs)
+    row = docs.where(F.col("total_claims") > 0).first()
+    schema = json.loads(row["extracted_schema_json"])
+    assert len(schema["claims"]) == row["total_claims"]
+    assert "claim_number" in schema["claims"][0]
+    analysis = json.loads(row["analysis_json"])
+    assert analysis["total_claims"] == row["total_claims"]
+    assert {"claim_number", "math_valid", "math_diff", "confidence_score"} \
+        <= set(analysis["claims_validation_summary"][0])
+    ver = json.loads(row["verification_json"])
+    assert ver["combined_text"] == row["text"]
+    assert ver["summary"]["claims_count"] == row["total_claims"]
