@@ -297,7 +297,58 @@ _TOKEN_RE = re.compile(
 )
 
 
+# Fast path for the two dominant content-stream idioms — a one-Tm text
+# object and a single stroked line segment. These cover the vast majority
+# of operators emitted by common generators (and our fixture writer);
+# anything else falls back to the generic interpreter below.
+_FAST_LINE_RE = re.compile(
+    rb"(?:BT /F\d+ ([\d.]+) Tf "
+    rb"([-\d.]+) ([-\d.]+) ([-\d.]+) ([-\d.]+) ([-\d.]+) ([-\d.]+) Tm "
+    rb"\(((?:[^()\\]|\\.)*)\) Tj ET)"
+    rb"|(?:([-\d.]+) ([-\d.]+) m ([-\d.]+) ([-\d.]+) l S)")
+_WS_ONLY_RE = re.compile(rb"\s*")
+
+
+def _interpret_fast(stream: bytes, page: PDFPage) -> bool:
+    """Try the structured fast path; returns False (no side effects kept)
+    when the stream contains anything beyond the two known idioms."""
+    runs: list[TextRun] = []
+    segs: list[tuple[float, float, float, float]] = []
+    H = page.height
+    pos = 0
+    for m in _FAST_LINE_RE.finditer(stream):
+        if _WS_ONLY_RE.fullmatch(stream, pos, m.start()) is None:
+            return False  # unknown operators between matches
+        pos = m.end()
+        if m.group(1) is not None:
+            size = float(m.group(1))
+            a = float(m.group(2))
+            b = float(m.group(3))
+            e = float(m.group(6))
+            f = float(m.group(7))
+            raw = m.group(8)
+            s = (raw.decode("latin-1") if b"\\" not in raw
+                 else _parse_string(b"(" + raw + b")", 0)[0])
+            if s:
+                vertical = abs(b) > abs(a)
+                y = H - f
+                runs.append(TextRun(x=e, y=y - (0 if vertical else size),
+                                    text=s, size=size, vertical=vertical))
+        else:
+            x0, y0 = float(m.group(9)), H - float(m.group(10))
+            x1, y1 = float(m.group(11)), H - float(m.group(12))
+            segs.append((x0, y0, x1, y1))
+    if _WS_ONLY_RE.fullmatch(stream, pos) is None:
+        return False  # trailing unknown content
+    page.runs.extend(runs)
+    for s4 in segs:
+        _add_segment(page, *s4)
+    return True
+
+
 def _interpret_content(stream: bytes, page: PDFPage) -> None:
+    if _interpret_fast(stream, page):
+        return
     stack: list = []
     tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)   # a b c d e f
     tlm = tm
