@@ -82,6 +82,7 @@ def main() -> None:
     extract_docs = 0
     extract_sec = 0.0
     for name, fn in bench_queries.items():
+        spark.catalog.clearCache()  # no cross-query cache reuse
         t0 = time.monotonic()
         n = fn(spark, sf_dir).count()
         dt = time.monotonic() - t0

@@ -122,6 +122,11 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         return PipelineResult(run_id, docs_out,
                               spark.read.parquet(claims_path), metrics,
                               docs_written, time.monotonic() - t0)
+    # no-output path: finalize's docs plan branches twice off fields_df
+    # (docs scalars + per-doc claims agg) — persist so the UDF stage runs
+    # once per action instead of twice. Caller unpersists via
+    # spark.catalog.clearCache() or lets it age out.
+    fields_df = fields_df.persist()
     claims, docs = finalize(fields_df)
     return PipelineResult(run_id, docs, claims, None, 0,
                           time.monotonic() - t0)

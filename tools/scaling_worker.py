@@ -49,6 +49,7 @@ def main() -> None:
     times = []
     n = 0
     for _ in range(2):
+        spark.catalog.clearCache()  # identical plans must not reuse cache
         t0 = time.monotonic()
         res = run_pipeline(spark, web, output_dir=None, resume=False,
                            num_partitions=cores * 2,
