@@ -61,10 +61,14 @@ CLAIM_FIELDS = ["claim_number", "employee_name", "status", "injury_date_time",
                 "expense_reserve", "recovery", "deductible", "total_incurred",
                 "extraction_source"]
 
+# label matches case-insensitively; the VALUE must be an uppercase id
+# containing a digit (a bare re.IGNORECASE let prose like
+# 'Policy Number: see attached' capture 'see' as a policy id)
 POLICY_HEADER_RE = re.compile(
-    r"(?:Policy\s*(?:Number|#|No\.?)|Pol\s*#)\s*:?[ \t]*([A-Z0-9][A-Z0-9\-]{2,})?",
-    re.IGNORECASE)
-NEXT_LINE_VALUE_RE = re.compile(r"\s*\n[ \t]*([A-Z0-9][A-Z0-9\-]{2,})")
+    r"(?i:Policy\s*(?:Number|#|No\.?)|Pol\s*#)\s*:?[ \t]*"
+    r"((?=[A-Z0-9\-]*\d)[A-Z0-9][A-Z0-9\-]{2,})?")
+NEXT_LINE_VALUE_RE = re.compile(
+    r"\s*\n[ \t]*((?=[A-Z0-9\-]*\d)[A-Z0-9][A-Z0-9\-]{2,})")
 INSURED_RE = re.compile(r"Insured(?:\s*Name)?\s*:\s*(.+?)\s*$",
                         re.IGNORECASE | re.MULTILINE)
 REPORT_DATE_RE = re.compile(
@@ -85,18 +89,24 @@ TABLE_BLOCK_RE = re.compile(
 # --------------------------------------------------------------------------
 
 def detect_policy_boundaries(text: str) -> list[dict]:
-    """[{policy_number, start_index}] sorted and index-deduped."""
+    """[{policy_number, start_index, value_start, value_end}] sorted and
+    index-deduped. start_index is the HEADER offset (chunk boundary);
+    value_start/value_end delimit the id itself (span artifact)."""
     boundaries = []
     scan = text if len(text) < 100_000 else text[:100_000]
     for m in POLICY_HEADER_RE.finditer(scan):
         value = m.group(1)
-        if not value:
+        if value:
+            v_start, v_end = m.start(1), m.end(1)
+        else:
             m2 = NEXT_LINE_VALUE_RE.match(scan, m.end())
             if m2:
                 value = m2.group(1)
+                v_start, v_end = m2.start(1), m2.end(1)
         if not value:
             continue
-        boundaries.append({"policy_number": value, "start_index": m.start()})
+        boundaries.append({"policy_number": value, "start_index": m.start(),
+                           "value_start": v_start, "value_end": v_end})
     boundaries.sort(key=lambda b: b["start_index"])
     out, last = [], -1
     for b in boundaries:
@@ -218,8 +228,7 @@ def extract_document_fields(text: str) -> dict:
     spans: list[dict] = []
     for b in boundaries:
         spans.append({"field": "policy_number", "value": b["policy_number"],
-                      "start": b["start_index"],
-                      "end": b["start_index"] + len(b["policy_number"])})
+                      "start": b["value_start"], "end": b["value_end"]})
     for ch in chunks:
         for c in extract_claims(ch["text"]):
             c["policy_number"] = ch["policy_number"]

@@ -61,8 +61,6 @@ class _Extractor(HTMLParser):
         self._stack: list[_Block] = []
         self._drop_depth = 0
         self._anchor_depth = 0
-        self.title = ""
-        self._in_title = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
@@ -71,9 +69,7 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
-        if tag == "title":
-            self._in_title = True
-        elif tag == "a":
+        if tag == "a":
             self._anchor_depth += 1
         elif tag in _BLOCK_TAGS:
             self._stack.append(_Block(tag))
@@ -85,9 +81,7 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
-        if tag == "title":
-            self._in_title = False
-        elif tag == "a":
+        if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
         elif tag in _BLOCK_TAGS:
             # close the innermost matching block
@@ -100,9 +94,6 @@ class _Extractor(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if self._drop_depth:
-            return
-        if self._in_title:
-            self.title += data
             return
         if self._stack:
             self._stack[-1].chars.append(data)

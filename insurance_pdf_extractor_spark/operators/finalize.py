@@ -153,7 +153,10 @@ def finalize(fields_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.count("*").alias("total_claims"),                             # A1
         F.sum(F.coalesce("total_incurred", F.lit(0.0)))
          .alias("total_incurred_all"),                                  # A2
-        F.collect_list(F.struct(*[F.col(c) for c in CLAIM_OUT_COLS]))
+        # sort_array on the pos-led struct → deterministic first-seen
+        # order (collect_list alone is shuffle-order-dependent)
+        F.array_sort(F.collect_list(F.struct(
+            F.col("pos"), *[F.col(c) for c in CLAIM_OUT_COLS])))
          .alias("claims"),
         F.collect_set("claim_number").alias("_extracted_ids"),
     )

@@ -31,6 +31,7 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
         t0 = time.monotonic()
         docs = 0
         in_bytes = 0
+        text_bytes = 0
         tok_fails = 0
         fld_fails = 0
         tok_ms = 0.0
@@ -58,6 +59,7 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
                 if res.get("error"):
                     tok_fails += 1
                 tok_ms += time.monotonic() - tk0
+                text_bytes += len(res["text"] or "")
                 try:
                     fld = FX.extract_document_fields(res["text"] or "")
                 except Exception:
@@ -88,7 +90,7 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
         emit_partition_metrics(metrics_dir, run_id, "tokenize", docs,
                                in_bytes, tok_fails, int(tok_ms * 1000))
         emit_partition_metrics(metrics_dir, run_id, "fields", docs,
-                               in_bytes, fld_fails,
+                               text_bytes, fld_fails,
                                int((wall - tok_ms) * 1000))
     return fused_fn
 

@@ -55,13 +55,18 @@ def make_tokenize_fn(run_id: str, metrics_dir: str | None):
             out_cols: dict[str, list] = {k: [] for k in (
                 "url", "warc_ts", "lang", "doc_kind", "text", "pages",
                 "fallback_used", "recovered_claims", "error")}
-            for url, ts, html, text, lang, kind0 in zip(
+            for url, ts, html, text, lang, kind0, oversize in zip(
                     pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
-                    pdf["lang"], pdf["doc_kind0"]):
+                    pdf["lang"], pdf["doc_kind0"], pdf["oversize"]):
                 docs += 1
                 n_bytes += len(html) if html is not None else 0
                 try:
-                    res = _extract_one(kind0, html, text)
+                    if oversize:
+                        res = dict(_EMPTY)
+                        res["doc_kind"] = "oversize"
+                        res["error"] = "document exceeds 50 MB cap"
+                    else:
+                        res = _extract_one(kind0, html, text)
                 except Exception as exc:  # never kill the partition
                     res = dict(_EMPTY)
                     res["doc_kind"] = f"{kind0}_error"
@@ -87,6 +92,7 @@ def make_tokenize_fn(run_id: str, metrics_dir: str | None):
 
 def tokenize(df, run_id: str, metrics_dir: str | None = None):
     """(sniffed web_pages) → TOKENIZED DataFrame."""
-    cols = ["url", "warc_ts", "html", "text", "lang", "doc_kind0"]
+    cols = ["url", "warc_ts", "html", "text", "lang", "doc_kind0",
+            "oversize"]
     return df.select(*cols).mapInPandas(
         make_tokenize_fn(run_id, metrics_dir), schema=TOKENIZED)

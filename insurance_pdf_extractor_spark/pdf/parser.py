@@ -264,7 +264,6 @@ class PDFDocument:
                 content = self.resolve(content)
             if isinstance(content, list):
                 for c in content:
-                    c = c if isinstance(c, tuple) else c
                     num = c[1] if isinstance(c, tuple) else None
                     if num in self.streams:
                         streams.append(self.streams[num])

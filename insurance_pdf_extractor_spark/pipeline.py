@@ -40,6 +40,12 @@ class PipelineResult:
     metrics: DataFrame | None
     docs_written: int
     wall_sec: float
+    cached: DataFrame | None = None  # no-output path pins the intermediate
+
+    def unpersist(self) -> None:
+        """Release the pinned intermediate (no-output runs only)."""
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 def _committed_urls(spark: SparkSession, docs_path: str) -> DataFrame | None:
@@ -124,9 +130,9 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                               docs_written, time.monotonic() - t0)
     # no-output path: finalize's docs plan branches twice off fields_df
     # (docs scalars + per-doc claims agg) — persist so the UDF stage runs
-    # once per action instead of twice. Caller unpersists via
-    # spark.catalog.clearCache() or lets it age out.
+    # once per action instead of twice. Cached blocks have NO TTL: call
+    # result.unpersist() (or spark.catalog.clearCache()) when done.
     fields_df = fields_df.persist()
     claims, docs = finalize(fields_df)
     return PipelineResult(run_id, docs, claims, None, 0,
-                          time.monotonic() - t0)
+                          time.monotonic() - t0, cached=fields_df)

@@ -25,7 +25,15 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     The small side is replicated once per salt (broadcast-sized inputs
     only); the big side picks a deterministic salt per row, so a hot key's
     rows fan out across ``n_salts`` tasks instead of one.
+
+    Only big-side-preserving join types are valid: a small-side-preserving
+    join would emit each unmatched small row once per salt.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(f"salted_join does not support how={how!r}: "
+                         "the replicated small side would duplicate "
+                         "unmatched rows")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     small_exp = small.withColumn("_salt", salts)
     big_salted = big.withColumn(

@@ -188,9 +188,6 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
         page, _ = L.auto_rotate(page)
         content = page_header(page.number)
         tables = L.detect_tables(page)
-        text = L.render_layout_page(page)
-        if is_rev and text:
-            text = reverse_text_block(text)
 
         body_parts: list[str] = []
         if tables:
@@ -232,6 +229,9 @@ def extract_layout(doc: P.PDFDocument) -> tuple[str, list[dict]]:
                     content += bot_text + "\n"
                     body_parts.append(bot_text)
         else:
+            text = L.render_layout_page(page)
+            if is_rev and text:
+                text = reverse_text_block(text)
             if text:
                 content += text + "\n"
                 body_parts.append(text)

@@ -101,9 +101,21 @@ class TestFieldSpans:
         assert text[ins["start"]:ins["end"]] == "ACME LLC"
         rd = spans[("report_date", "2024-01-05")]
         assert text[rd["start"]:rd["end"]] == "2024-01-05"
-        # policy span starts at the HEADER (chunk boundary semantics)
+        # every span delimits its VALUE in the text
         p1 = spans[("policy_number", "ABC-123")]
-        assert text[p1["start"]:].startswith("Policy Number: ABC-123")
+        assert text[p1["start"]:p1["end"]] == "ABC-123"
 
     def test_spans_empty_for_plain_text(self):
         assert FX.extract_document_fields("nothing here")["field_spans"] == []
+
+
+def test_policy_value_requires_digit_and_case():
+    # prose after the label must not be captured as a policy id
+    res = FX.extract_document_fields("Policy Number: see attached schedule")
+    assert res["policy_number"] is None
+    # value on the next line still works and spans the value
+    res2 = FX.extract_document_fields("Policy Number\nSWC1364773\nbody")
+    assert res2["policy_number"] == "SWC1364773"
+    sp = [s for s in res2["field_spans"] if s["field"] == "policy_number"][0]
+    text = "Policy Number\nSWC1364773\nbody"
+    assert text[sp["start"]:sp["end"]] == "SWC1364773"

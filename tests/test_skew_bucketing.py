@@ -55,3 +55,11 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
             spark.sql("DROP TABLE IF EXISTS b_left")
             spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_salted_join_rejects_small_side_preserving(spark):
+    from insurance_pdf_extractor_spark.skew import salted_join
+    big = spark.range(3).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([(1, "a")], ["k", "name"])
+    with pytest.raises(ValueError, match="does not support"):
+        salted_join(big, small, "k", how="full")
