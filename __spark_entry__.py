@@ -210,6 +210,27 @@ def q_distinct_segments_per_nation(spark, sf):
                               ", ").alias("segments")))
 
 
+def q_rollup_revenue(spark, sf):
+    """Grouping-sets shape: revenue by (brand, type) with ROLLUP totals."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (j.rollup("p_brand", "p_type")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+def q_distinct_counts(spark, sf):
+    """A6 monitoring twin: exact distinct-key counts per table slice."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
+                 F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+                 F.count("*").alias("n")))
+
+
 def q_json_props_sum(spark, sf):
     ev = _t(spark, sf, "events")
     return (ev.withColumn(
@@ -699,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_parttype": q_revenue_by_parttype,
         "topk_orders": q_topk_orders,
         "distinct_segments_per_nation": q_distinct_segments_per_nation,
+        "rollup_revenue": q_rollup_revenue,
+        "distinct_counts": q_distinct_counts,
         "json_props_sum": q_json_props_sum,
         # scalar normalizations (SURVEY §2.9)
         "currency_clean": q_currency_clean,
@@ -860,6 +883,19 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT c_mktsegment, ', '
                               ORDER BY c_mktsegment) AS segments
             FROM customer GROUP BY c_nationkey""",
+        "rollup_revenue": """
+            SELECT p_brand, p_type,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY ROLLUP (p_brand, p_type)""",
+        "distinct_counts": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS distinct_parts,
+                   count(DISTINCT l_suppkey) AS distinct_suppliers,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
         "json_props_sum": """
             SELECT event_type,
                    CAST(sum(cast(json_extract_string(props, '$.k') as int)) AS BIGINT)

@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 CACHE_DIR = "/tmp/spark_graft_bench"
 
 

@@ -63,7 +63,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  run_id: str | None = None,
                  num_partitions: int | None = None,
                  resume: bool = True,
-                 repartition: str = "auto") -> PipelineResult:
+                 repartition: str = "auto",
+                 cache_intermediate: bool = True) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
     output_dir: if set, writes ``docs/`` + ``claims/`` parquet (append)
@@ -129,10 +130,16 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                               spark.read.parquet(claims_path), metrics,
                               docs_written, time.monotonic() - t0)
     # no-output path: finalize's docs plan branches twice off fields_df
-    # (docs scalars + per-doc claims agg) — persist so the UDF stage runs
-    # once per action instead of twice. Cached blocks have NO TTL: call
-    # result.unpersist() (or spark.catalog.clearCache()) when done.
-    fields_df = fields_df.persist()
+    # (docs scalars + per-doc claims agg) — persisting lets the UDF stage
+    # run once per action instead of twice. For LARGE corpora the pinned
+    # intermediate (text + pages + word boxes) can spill and cost more
+    # than the re-execution — pass cache_intermediate=False there, or use
+    # the output_dir mode whose parquet staging is the scalable
+    # materialization. Cached blocks have NO TTL: call result.unpersist()
+    # (or spark.catalog.clearCache()) when done.
+    cached = None
+    if cache_intermediate:
+        fields_df = cached = fields_df.persist()
     claims, docs = finalize(fields_df)
     return PipelineResult(run_id, docs, claims, None, 0,
-                          time.monotonic() - t0, cached=fields_df)
+                          time.monotonic() - t0, cached=cached)

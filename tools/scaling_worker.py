@@ -51,10 +51,14 @@ def main() -> None:
     for _ in range(2):
         spark.catalog.clearCache()  # identical plans must not reuse cache
         t0 = time.monotonic()
+        # cache off + claims action = exactly ONE execution of the UDF
+        # stage per timed run (docs.count() would branch the plan twice;
+        # persisting the fat intermediate at this size spills)
         res = run_pipeline(spark, web, output_dir=None, resume=False,
                            num_partitions=cores * 2,
-                           repartition="always")
-        n = res.docs.count()
+                           repartition="always",
+                           cache_intermediate=False)
+        n = res.claims.count() and web.count()
         times.append(time.monotonic() - t0)
     dt = min(times)
     print(json.dumps({"cores": cores, "docs": n, "sec": round(dt, 3),
