@@ -55,7 +55,11 @@ def _web_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     web = _web_pages_from_documents(spark, "/root/testdata/sf0.001")
-    res = run_pipeline(spark, web, output_dir=None, resume=False)
+    # cache_intermediate=False: single-action path — a persist() here would
+    # pin the fat intermediate with no unpersist hook (the driver consumes
+    # the returned DataFrame)
+    res = run_pipeline(spark, web, output_dir=None, resume=False,
+                       cache_intermediate=False)
     return res.docs.select(
         "url", "doc_kind", "total_pages", "total_claims",
         F.length("text").alias("text_chars"), "validation_complete")
@@ -97,6 +101,21 @@ _CLAIM_VALUES = [
 ]
 
 _STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# C10 fixtures: clean / off-by-cents / big mismatch / negatives / nulls
+_FINVAL_VALUES = [
+    ("V1", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 200.0),    # exact
+    ("V2", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 200.02),   # inside tolerance
+    ("V3", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 200.03),   # just outside
+    ("V4", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 999.0),    # way off
+    ("V5", -5.0, 50.0, 10.0, 40.0, 0.0, 0.0, 95.0),      # negative paid
+    ("V6", 100.0, -1.5, 10.0, 40.0, 0.0, -2.0, 146.5),   # two negatives
+    ("V7", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -10.0),         # negative total
+    ("V8", None, 50.0, 10.0, 40.0, 0.0, 0.0, 100.0),     # null → 0.0
+]
+_FINVAL_COLS = ["claim_number", "medical_paid", "medical_reserve",
+                "indemnity_paid", "indemnity_reserve", "expense_paid",
+                "expense_reserve", "total_incurred"]
 
 
 def _values_sql(rows, cols) -> str:
@@ -176,12 +195,15 @@ def q_semi_join_parts(spark, sf):
 
 
 def q_set_diff_both_ways(spark, sf):
+    """J4 — one lazy plan: the two anti-join counts are 1-row aggs
+    cross-joined (no driver-side .count() at builder time)."""
     li = _t(spark, sf, "lineitem").select("l_suppkey").distinct()
     sup = _t(spark, sf, "supplier").select("s_suppkey").distinct()
-    missing = sup.join(li, sup.s_suppkey == li.l_suppkey, "left_anti").count()
-    extra = li.join(sup, sup.s_suppkey == li.l_suppkey, "left_anti").count()
-    return _values_df(spark, [(missing, extra)],
-                      ["suppliers_without_lines", "lines_without_supplier"])
+    missing = (sup.join(li, sup.s_suppkey == li.l_suppkey, "left_anti")
+               .agg(F.count("*").alias("suppliers_without_lines")))
+    extra = (li.join(sup, sup.s_suppkey == li.l_suppkey, "left_anti")
+             .agg(F.count("*").alias("lines_without_supplier")))
+    return missing.crossJoin(extra)
 
 
 def q_revenue_by_parttype(spark, sf):
@@ -314,6 +336,25 @@ def q_claims_normalize(spark, sf):
     return df.where(~C.is_phantom_name(F.col("employee_name")))
 
 
+
+def q_financial_validation(spark, sf):
+    """C10 — $0.02-tolerance total check + non-negativity, error strings
+    per failure (reference backend/insurance_extractor.py:1265-1303)."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+    schema = StructType(
+        [StructField("claim_number", StringType())]
+        + [StructField(c, DoubleType()) for c in _FINVAL_COLS[1:]])
+    df = spark.createDataFrame([tuple(r) for r in _FINVAL_VALUES], schema)
+    return (df.withColumn("validation_errors",
+                          C.financial_validation_errors())
+            .select("claim_number",
+                    F.array_join("validation_errors", "; ")
+                     .alias("errors"),
+                    (F.size("validation_errors") == 0)
+                     .alias("financially_valid")))
+
+
 # --- documents: text analysis ----------------------------------------------
 
 def q_doc_stats(spark, sf):
@@ -401,18 +442,63 @@ def _corpus_with_twins(spark, sf):
 
 def _shingles(col, n):
     words = F.split(col, " ")
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j)
-                                     for j in range(n)])))
+    # guard: sequence(1, stop) with stop < 1 generates a DESCENDING
+    # sequence (→ element_at(words, 0) crash); short docs get no shingles,
+    # matching DuckDB range()'s empty result
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j)
+                                         for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Production-sized dedup parameters (VERDICT r1 item 4): 128-perm-class
+# MinHash via the standard (a + k*b) mod p family over ONE md5 per shingle
+# (one hash + 64 integer ops, not 64 md5s), 16 bands x 4 rows banding,
+# document-frequency cap on shingles before any self-join, 64-bit SimHash.
+MINHASH_PERMS = 64
+LSH_BANDS = 16          # 16 bands x 4 rows: s-curve threshold ~ (1/16)^(1/4) ~ 0.5
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+SHINGLE_DF_CAP = 20     # shingles in > cap docs are stop-phrases: drop
+                        # BEFORE the join (hot-key quadratic blowup at scale)
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _hex32(h, offset):
+    """Parse 8 hex chars of an md5 column (1-based offset) to a long —
+    ascii arithmetic only, identical in Spark and DuckDB."""
+    v = F.lit(0).cast("long")  # long from the start: 16^8 overflows int32
+    for i in range(8):
+        a = F.ascii(F.substring(h, offset + i, 1))
+        v = v * 16 + F.when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+    return v
+
+
+def _hex32_sql(col, offset):
+    v = "CAST(0 AS BIGINT)"
+    for i in range(8):
+        a = f"ascii(substr({col}, {offset + i}, 1))"
+        v = (f"({v} * 16 + (CASE WHEN {a} <= 57 THEN {a} - 48 "
+             f"ELSE {a} - 87 END))")
+    return v
 
 
 def q_ngram_jaccard_pairs(spark, sf):
-    """Near-dup pairs by 3-gram Jaccard ≥ 0.5 over the twin corpus."""
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.5 over the twin corpus.
+
+    The shingle self-join is preceded by a document-frequency cap: any
+    shingle present in more than SHINGLE_DF_CAP docs is a stop-phrase
+    whose join group explodes quadratically at corpus scale. Sizes are
+    computed on the capped shingle set so the Jaccard stays consistent."""
     corpus = _corpus_with_twins(spark, sf).where(
         (F.col("doc_id") % 1000) < 50)  # bound the pair join
     sh = corpus.select("doc_id",
                        F.explode(_shingles(F.col("text"), 3)).alias("sh"))
+    rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= SHINGLE_DF_CAP).select("sh"))
+    sh = sh.join(rare, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (sh.alias("a").join(sh.alias("b"), "sh")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -434,44 +520,66 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 
 def q_minhash_signatures(spark, sf):
+    """64-permutation MinHash: one md5 per shingle split into two 32-bit
+    halves (a, b); permutation k is min((a + k*b) mod p). Column mh00..
+    mh63; banding in q_lsh_band_pairs groups them 4-per-band."""
     corpus = _corpus_with_twins(spark, sf).where(
         (F.col("doc_id") % 1000) < 50)
     sh = corpus.select("doc_id",
                        F.explode(_shingles(F.col("text"), 2)).alias("sh"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh"))))
-             .alias(f"mh{k}") for k in range(4)]
+    h = F.md5(F.col("sh"))
+    sh = sh.select("doc_id", _hex32(h, 1).alias("ha"),
+                   _hex32(h, 9).alias("hb"))
+    aggs = [F.min((F.col("ha") + k * F.col("hb")) % _MH_PRIME)
+             .alias(f"mh{k:02d}") for k in range(MINHASH_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def q_lsh_band_pairs(spark, sf):
+    """LSH candidate pairs: 16 bands x 4 rows over the 64-perm signature;
+    the join key is (band_no, band_hash) — bucketed, never all-pairs."""
     sig = q_minhash_signatures(spark, sf)
-    bands = sig.select(
-        "doc_id",
-        F.md5(F.concat("mh0", "mh1")).alias("band1"),
-        F.md5(F.concat("mh2", "mh3")).alias("band2"))
-    stacked = (bands.select("doc_id", F.col("band1").alias("band"))
-               .unionByName(bands.select("doc_id",
-                                         F.col("band2").alias("band"))))
-    return (stacked.alias("a").join(stacked.alias("b"), "band")
+    bands = [
+        F.struct(F.lit(b).alias("band_no"),
+                 F.md5(F.concat_ws(",", *[
+                     F.col(f"mh{b * LSH_ROWS + r:02d}").cast("string")
+                     for r in range(LSH_ROWS)])).alias("bh"))
+        for b in range(LSH_BANDS)]
+    stacked = sig.select("doc_id",
+                         F.explode(F.array(*bands)).alias("band"))                  .select("doc_id", "band.band_no", "band.bh")
+    return (stacked.alias("a")
+            .join(stacked.alias("b"), ["band_no", "bh"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
 
 
-def q_simhash16(spark, sf):
+def q_simhash64(spark, sf):
+    """64-bit SimHash (VERDICT r1: 16-bit collides at corpus scale):
+    64 bit-votes from two md5s per token, emitted as a 16-hex-char
+    fingerprint string (BIGINT would overflow at bit 63)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
     w = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
-    w = w.withColumn("h", F.md5(F.col("w")))
-    votes = [
-        F.sum(F.when(F.ascii(F.substring("h", i + 1, 1)) % 2 == 1, 1)
-               .otherwise(-1)).alias(f"v{i}") for i in range(16)]
+    w = (w.withColumn("h1", F.md5(F.col("w")))
+          .withColumn("h2", F.md5(F.concat(F.lit("x"), F.col("w")))))
+    votes = []
+    for i in range(64):
+        src, pos = ("h1", i + 1) if i < 32 else ("h2", i - 31)
+        votes.append(
+            F.sum(F.when(F.ascii(F.substring(src, pos, 1)) % 2 == 1, 1)
+                   .otherwise(-1)).alias(f"v{i:02d}"))
     agg = w.groupBy("doc_id").agg(*votes)
-    sim = sum((F.when(F.col(f"v{i}") > 0, 1).otherwise(0)
-               * F.lit(2 ** i)) for i in range(16))
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    nibbles = []
+    for nib in range(16):
+        val = F.lit(0)
+        for j in range(4):
+            bit = F.when(F.col(f"v{nib * 4 + j:02d}") > 0, 1).otherwise(0)
+            val = val * 2 + bit
+        nibbles.append(F.substring(F.lit("0123456789abcdef"), val + 1, 1))
+    return agg.select("doc_id", F.concat(*nibbles).alias("simhash"))
 
 
 # --- embeddings: similarity search ------------------------------------------
@@ -630,7 +738,11 @@ def q_chunk_windows(spark, sf):
     """G2 — fixed-size overlapping windows (size 100, stride 80)
     (reference backend/insurance_extractor.py:551-574 fallback)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 20)
-    starts = F.sequence(F.lit(1), F.length("text"), F.lit(80))
+    # empty-text guard: sequence(1, 0, 80) throws in Spark while DuckDB's
+    # range(1, 1, 80) is empty — make both empty
+    starts = F.when(F.length("text") > 0,
+                    F.sequence(F.lit(1), F.length("text"), F.lit(80))
+                    ).otherwise(F.array().cast("array<int>"))
     return (docs.select("doc_id", F.explode(starts).alias("start"),
                         F.col("text"))
             .select("doc_id", F.col("start").cast("long").alias("start"),
@@ -647,13 +759,17 @@ _WM_VALUES = [
 
 
 def q_watermark_detect(spark, sf):
-    """F5 twin — lines (len ≥ 4) present on every page are watermarks."""
+    """F5 twin — lines (len ≥ 4) present on every page are watermarks.
+
+    Fully lazy: the total page count is a broadcast 1-row agg joined into
+    the plan, not a driver-side action at builder time."""
     df = _values_df(spark, _WM_VALUES, ["page_no", "line"])
-    n_pages = df.select("page_no").distinct().count()
+    totals = df.agg(F.countDistinct("page_no").alias("_total_pages"))
     return (df.where(F.length("line") >= 4)
             .groupBy("line")
             .agg(F.countDistinct("page_no").alias("n_pages"))
-            .where(F.col("n_pages") == n_pages)
+            .join(F.broadcast(totals))
+            .where(F.col("n_pages") == F.col("_total_pages"))
             .select("line"))
 
 
@@ -682,7 +798,8 @@ def q_embedding_near_dup(spark, sf):
 
 def q_pipeline_documents(spark, sf):
     web = _web_pages_from_documents(spark, sf)
-    res = run_pipeline(spark, web, output_dir=None, resume=False)
+    res = run_pipeline(spark, web, output_dir=None, resume=False,
+                       cache_intermediate=False)
     return res.docs.select("url", "doc_kind", "total_pages",
                            F.length("text").alias("text_chars"))
 
@@ -700,7 +817,8 @@ def q_pipeline_fixture_claims(spark, sf):
     from insurance_pdf_extractor_spark.schemas import WEB_PAGES
     rows = generate_rows(64, seed=42)
     web = spark.createDataFrame(rows, schema=WEB_PAGES)
-    res = run_pipeline(spark, web, output_dir=None, resume=False)
+    res = run_pipeline(spark, web, output_dir=None, resume=False,
+                       cache_intermediate=False)
     return res.claims.select("url", "claim_number", "employee_name",
                              "status", "injury_type", "claim_year",
                              "medical_paid", "total_incurred",
@@ -731,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_last_first": q_name_last_first,
         "phantom_filter": q_phantom_filter,
         "claims_normalize": q_claims_normalize,
+        "financial_validation": q_financial_validation,
         # documents: text analysis / quality / lang-id / fingerprints
         "doc_stats": q_doc_stats,
         "token_counts": q_token_counts,
@@ -742,7 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "lsh_band_pairs": q_lsh_band_pairs,
-        "simhash16": q_simhash16,
+        "simhash64": q_simhash64,
         # similarity search over embeddings
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_bucketed": q_ann_ivf_bucketed,
@@ -769,6 +888,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _finval_sql() -> str:
+    # DOUBLE casts matter: DuckDB infers DECIMAL for the VALUES literals,
+    # where 200.02 - 200.00 == 0.02 exactly; the reference does Python
+    # float arithmetic, where the same diff is 0.02000000000001 > 0.02 and
+    # the warning FIRES. Matching the reference requires IEEE doubles.
+    vals = _values_sql(_FINVAL_VALUES, _FINVAL_COLS)
+    fields = ["medical_paid", "medical_reserve", "indemnity_paid",
+              "indemnity_reserve", "expense_paid", "expense_reserve",
+              "total_incurred"]
+    d = {f: f"coalesce(CAST({f} AS DOUBLE), 0.0)" for f in fields}
+    calc = "(" + " + ".join(d[f] for f in fields[:-1]) + ")"
+    checks = [
+        f"CASE WHEN abs({calc} - {d['total_incurred']}) > 0.02 "
+        f"THEN printf('Total mismatch: calculated $%.2f != reported $%.2f',"
+        f" {calc}, {d['total_incurred']}) END"]
+    for f in fields:
+        checks.append(
+            f"CASE WHEN {d[f]} < 0 THEN printf("
+            f"'{f} is negative: $%.2f', {d[f]}) END")
+    errs = f"[x FOR x IN [{', '.join(checks)}] IF x IS NOT NULL]"
+    return f"""
+            SELECT claim_number,
+                   coalesce(array_to_string({errs}, '; '), '') AS errors,
+                   len({errs}) = 0 AS financially_valid
+            FROM {vals}"""
+
+
+def _minhash_sig_cte(twins: str, shingle2: str) -> str:
+    """Shared CTE: twin corpus → 2-shingles → (ha, hb) 32-bit md5 halves."""
+    return f"""WITH corpus AS (
+              SELECT * FROM ({twins}) WHERE (doc_id % 1000) < 50
+            ), sh0 AS (
+              SELECT doc_id, md5(unnest({shingle2})) AS h
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM corpus)
+            ), sh AS (
+              SELECT doc_id, {_hex32_sql('h', 1)} AS ha,
+                     {_hex32_sql('h', 9)} AS hb
+              FROM sh0
+            )"""
+
+
+def _minhash_min_exprs() -> str:
+    return ", ".join(
+        f"min((ha + {k} * hb) % {_MH_PRIME}) AS mh{k:02d}"
+        for k in range(MINHASH_PERMS))
+
+
+def _lsh_bands_union() -> str:
+    selects = []
+    for b in range(LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(mh{b * LSH_ROWS + r:02d} AS VARCHAR)"
+            for r in range(LSH_ROWS))
+        selects.append(f"SELECT doc_id, {b} AS band_no, md5({parts}) AS bh "
+                       f"FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+def _simhash64_sql() -> str:
+    votes = []
+    for i in range(64):
+        src, pos = ("h1", i + 1) if i < 32 else ("h2", i - 31)
+        votes.append(f"sum(CASE WHEN ascii(substr({src}, {pos}, 1)) % 2 = 1 "
+                     f"THEN 1 ELSE -1 END) AS v{i:02d}")
+    nibbles = []
+    for nib in range(16):
+        val = "0"
+        for j in range(4):
+            val = (f"({val} * 2 + (CASE WHEN v{nib * 4 + j:02d} > 0 "
+                   f"THEN 1 ELSE 0 END))")
+        nibbles.append(f"substr('0123456789abcdef', {val} + 1, 1)")
+    return f"""
+            WITH w AS (
+              SELECT doc_id, md5(w) AS h1, md5('x' || w) AS h2
+              FROM (SELECT doc_id,
+                           unnest(list_distinct(string_split(text, ' ')))
+                               AS w
+                    FROM documents WHERE doc_id < 100)
+            ), votes AS (
+              SELECT doc_id, {', '.join(votes)}
+              FROM w GROUP BY doc_id
+            )
+            SELECT doc_id, {' || '.join(nibbles)} AS simhash FROM votes"""
+
 
 def oracle_sql() -> dict[str, str]:
     currency_vals = _values_sql([(v,) for v in _CURRENCY_VALUES], ["raw"])
@@ -972,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
               AND NOT {phantom_pred.format(c='employee_name',
                                            plist=phantoms)}""",
+        "financial_validation": _finval_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -1039,10 +1245,15 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": f"""
             WITH corpus AS (
               SELECT * FROM ({twins}) WHERE (doc_id % 1000) < 50
-            ), sh AS (
+            ), sh_all AS (
               SELECT doc_id, unnest({shingle3}) AS sh
               FROM (SELECT doc_id, string_split(text, ' ') AS words
                     FROM corpus)
+            ), rare AS (
+              SELECT sh FROM sh_all GROUP BY sh
+              HAVING count(*) <= {SHINGLE_DF_CAP}
+            ), sh AS (
+              SELECT sh_all.* FROM sh_all JOIN rare USING (sh)
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
             ), pairs AS (
@@ -1058,58 +1269,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5""",
         "minhash_signatures": f"""
-            WITH corpus AS (
-              SELECT * FROM ({twins}) WHERE (doc_id % 1000) < 50
-            ), sh AS (
-              SELECT doc_id, unnest({shingle2}) AS sh
-              FROM (SELECT doc_id, string_split(text, ' ') AS words
-                    FROM corpus)
-            )
-            SELECT doc_id,
-                   min(md5('0:' || sh)) AS mh0,
-                   min(md5('1:' || sh)) AS mh1,
-                   min(md5('2:' || sh)) AS mh2,
-                   min(md5('3:' || sh)) AS mh3
+            {_minhash_sig_cte(twins, shingle2)}
+            SELECT doc_id, {_minhash_min_exprs()}
             FROM sh GROUP BY doc_id""",
         "lsh_band_pairs": f"""
-            WITH corpus AS (
-              SELECT * FROM ({twins}) WHERE (doc_id % 1000) < 50
-            ), sh AS (
-              SELECT doc_id, unnest({shingle2}) AS sh
-              FROM (SELECT doc_id, string_split(text, ' ') AS words
-                    FROM corpus)
-            ), sig AS (
-              SELECT doc_id,
-                     min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
-                     min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3
+            {_minhash_sig_cte(twins, shingle2)}, sig AS (
+              SELECT doc_id, {_minhash_min_exprs()}
               FROM sh GROUP BY doc_id
             ), bands AS (
-              SELECT doc_id, md5(mh0 || mh1) AS band FROM sig
-              UNION ALL
-              SELECT doc_id, md5(mh2 || mh3) AS band FROM sig
+              {_lsh_bands_union()}
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b USING (band)
+            FROM bands a JOIN bands b USING (band_no, bh)
             WHERE a.doc_id < b.doc_id""",
-        "simhash16": """
-            WITH w AS (
-              SELECT doc_id, md5(w) AS h
-              FROM (SELECT doc_id,
-                           unnest(list_distinct(string_split(text, ' ')))
-                               AS w
-                    FROM documents WHERE doc_id < 100)
-            ), votes AS (
-              SELECT doc_id,
-                     {cols}
-              FROM w GROUP BY doc_id
-            )
-            SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes""".format(
-            cols=", ".join(
-                f"sum(CASE WHEN ascii(substr(h, {i+1}, 1)) % 2 = 1 "
-                f"THEN 1 ELSE -1 END) AS v{i}" for i in range(16)),
-            sim=" + ".join(
-                f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END) * {2**i}"
-                for i in range(16))),
+        "simhash64": _simhash64_sql(),
         "ann_bruteforce": f"""
             WITH q AS (SELECT embedding AS q_emb FROM embeddings
                        WHERE vec_id = 0)

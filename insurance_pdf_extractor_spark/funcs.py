@@ -108,6 +108,38 @@ def reverse_lines(text: Column) -> Column:
         "\n")
 
 
+# fields checked for negativity, in the reference's iteration order
+# (reference backend/insurance_extractor.py:1296-1301)
+FINVAL_FIELDS = ["medical_paid", "medical_reserve", "indemnity_paid",
+                 "indemnity_reserve", "expense_paid", "expense_reserve",
+                 "total_incurred"]
+
+
+def financial_validation_errors(prefix: str = "") -> Column:
+    """C10 — $0.02-tolerance total check + non-negativity checks, each
+    failure an error string, in the reference's order and wording
+    (reference backend/insurance_extractor.py:1265-1303
+    ``_validate_financial_data``). Runs on POST-repair values (the
+    reference calls it on the final claims dicts, :1255-1258)."""
+    def col(name):
+        return F.coalesce(F.col(prefix + name), F.lit(0.0))
+
+    calc = (col("medical_paid") + col("medical_reserve")
+            + col("indemnity_paid") + col("indemnity_reserve")
+            + col("expense_paid") + col("expense_reserve"))
+    checks = [
+        F.when(F.abs(calc - col("total_incurred")) > 0.02,
+               F.format_string(
+                   "Total mismatch: calculated $%.2f != reported $%.2f",
+                   calc, col("total_incurred"))),
+    ]
+    for name in FINVAL_FIELDS:
+        checks.append(
+            F.when(col(name) < 0,
+                   F.format_string(f"{name} is negative: $%.2f", col(name))))
+    return F.filter(F.array(*checks), lambda e: e.isNotNull())
+
+
 def looks_reversed(text: Column) -> Column:
     """F3 — ≥2 reversed-keyword hits (reference backend/pdf_plumber.py:234-243)."""
     kws = ["tropeR", "mialC", "ycailoP", "oitaR", "ssoL", "diap"]

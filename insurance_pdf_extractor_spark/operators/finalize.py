@@ -133,6 +133,7 @@ CLAIM_OUT_COLS = [
     "injury_description", "policy_number",
     *C.CURRENCY_FIELDS, "math_valid", "math_diff", "quality",
     "nonzero_fields", "confidence_score",
+    "validation_errors", "financially_valid",
 ]
 
 
@@ -147,6 +148,13 @@ def finalize(fields_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.when(F.col("extraction_source") == "table", 1.0)
          .when(F.col("extraction_source") == "line", 0.6)
          .otherwise(0.5))
+    # C10 — financial validation on the POST-repair values
+    # (reference backend/insurance_extractor.py:1255-1303)
+    claims = (claims
+              .withColumn("validation_errors",
+                          C.financial_validation_errors())
+              .withColumn("financially_valid",
+                          F.size("validation_errors") == 0))
     claims = claims.select("url", "pos", *CLAIM_OUT_COLS)
 
     per_doc = claims.groupBy("url").agg(
@@ -161,8 +169,42 @@ def finalize(fields_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.collect_set("claim_number").alias("_extracted_ids"),
     )
 
+    # A11 — extraction-quality metrics, native twins of the reference's
+    # validate_extraction_quality (backend/pdf_plumber.py:340-392)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    # \S predicate == Python str.strip() truthiness (tabs included),
+    # unlike trim() which only strips spaces
+    non_empty = F.filter(lines, lambda l: l.rlike(r"\S"))
+    n_non_empty = F.size(non_empty)
+    avg_line_len = F.when(
+        n_non_empty > 0,
+        F.round(F.aggregate(non_empty, F.lit(0.0),
+                            lambda acc, l: acc + F.length(l)) / n_non_empty,
+                2)).otherwise(F.lit(0.0))
+    page_markers = ((F.length(F.coalesce(F.col("text"), F.lit("")))
+                     - F.length(F.replace(F.coalesce(F.col("text"),
+                                                     F.lit("")),
+                                          F.lit("PAGE "), F.lit(""))))
+                    / 5).cast("int")
+    claims_found = F.size(F.array_distinct(F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(r"W\d{2}IN\d{5}|\d{6}B"), F.lit(0))))
+    completeness = F.greatest(
+        F.lit(0.0),
+        F.round(F.lit(1.0)
+                - F.when(claims_found == 0, 0.5).otherwise(0.0)
+                - F.when(avg_line_len < 10, 0.3).otherwise(0.0)
+                - F.when(page_markers == 0, 0.2).otherwise(0.0), 2))
+
     docs = fields_df.select(
         "url", "warc_ts", "lang", "doc_kind", "text",
+        F.size(lines).alias("total_lines"),
+        n_non_empty.alias("non_empty_lines"),
+        avg_line_len.alias("avg_line_length"),
+        page_markers.alias("page_markers"),
+        claims_found.alias("claim_numbers_found"),
+        completeness.alias("completeness_score"),
+        (completeness >= 0.7).alias("is_complete"),
         "policy_number", "insured_name", "report_date", "num_chunks",
         "field_spans", "fallback_used", "recovered_claims", "error",
         F.size("pages").alias("total_pages"),                           # pages

@@ -55,10 +55,13 @@ def web_pages_from_text(df: DataFrame, url_col: str = "url",
 def write_claims_csv(claims: DataFrame, path: str) -> None:
     """S6/C16: merged claims → quoted CSV (one header, coalesced files
     sized by the writer; at cluster scale drop the coalesce)."""
-    (claims
-     .withColumn("source_url", F.col("url"))
-     .drop("url", "pos")
-     .write.mode("overwrite")
+    out = claims.withColumn("source_url", F.col("url")).drop("url", "pos")
+    # CSV can't carry arrays: flatten array<string> columns ('; '-joined,
+    # matching the reference's printed warning format)
+    for field in out.schema.fields:
+        if field.dataType.simpleString() == "array<string>":
+            out = out.withColumn(field.name, F.array_join(field.name, "; "))
+    (out.write.mode("overwrite")
      .option("header", True)
      .option("quoteAll", True)
      .csv(path))

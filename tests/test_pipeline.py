@@ -67,6 +67,32 @@ class TestClaimsSemantics:
             if not r.math_valid:
                 assert r.math_diff >= 1.0 or not valid
 
+    def test_financial_validation(self, pipeline_result):
+        # C10 (reference insurance_extractor.py:1265-1303): recompute the
+        # tolerance + negativity checks in Python and compare
+        rows = pipeline_result.claims.select(
+            "medical_paid", "medical_reserve", "indemnity_paid",
+            "indemnity_reserve", "expense_paid", "expense_reserve",
+            "total_incurred", "validation_errors",
+            "financially_valid").collect()
+        assert rows
+        fields = ["medical_paid", "medical_reserve", "indemnity_paid",
+                  "indemnity_reserve", "expense_paid", "expense_reserve",
+                  "total_incurred"]
+        for r in rows:
+            errors = []
+            calc = sum((r[f] or 0.0) for f in fields[:-1])
+            total = r["total_incurred"] or 0.0
+            if abs(calc - total) > 0.02:
+                errors.append(f"Total mismatch: calculated ${calc:.2f} "
+                              f"!= reported ${total:.2f}")
+            for f in fields:
+                v = r[f] or 0.0
+                if v < 0:
+                    errors.append(f"{f} is negative: ${v:.2f}")
+            assert list(r["validation_errors"]) == errors
+            assert r["financially_valid"] == (not errors)
+
     def test_invoice_docs_have_no_claims(self, pipeline_result):
         inv = pipeline_result.docs.where(
             F.col("url").contains("/invoice_pdf/")
@@ -103,6 +129,39 @@ class TestDocsSemantics:
         assert sc.count() > 0
         assert sc.where(F.col("avg_confidence") != 0.85).count() == 0
         assert sc.where(F.col("scanned_pages") != F.col("total_pages")).count() == 0
+
+    def test_extraction_quality_columns(self, pipeline_result):
+        # A11 (reference pdf_plumber.py:340-392): recompute per doc
+        import re
+        rows = pipeline_result.docs.select(
+            "text", "total_lines", "non_empty_lines", "avg_line_length",
+            "page_markers", "claim_numbers_found", "completeness_score",
+            "is_complete").collect()
+        assert rows
+        for r in rows:
+            text = r["text"] or ""
+            lines = text.split("\n")
+            non_empty = [l for l in lines if l.strip()]
+            avg = (round(sum(len(l) for l in non_empty) / len(non_empty), 2)
+                   if non_empty else 0.0)
+            markers = text.count("PAGE ")
+            found = len(set(re.findall(r"W\d{2}IN\d{5}|\d{6}B", text)))
+            score = 1.0
+            if found == 0:
+                score -= 0.5
+            if avg < 10:
+                score -= 0.3
+            if markers == 0:
+                score -= 0.2
+            score = max(0.0, round(score, 2))
+            assert r["total_lines"] == len(lines)
+            assert r["non_empty_lines"] == len(non_empty)
+            assert abs(r["avg_line_length"] - avg) < 0.011, (
+                r["avg_line_length"], avg)
+            assert r["page_markers"] == markers
+            assert r["claim_numbers_found"] == found
+            assert abs(r["completeness_score"] - score) < 1e-9
+            assert r["is_complete"] == (score >= 0.7)
 
     def test_multi_policy_join(self, pipeline_result):
         mp = pipeline_result.docs.where(
