@@ -13,14 +13,12 @@ from __future__ import annotations
 
 import hashlib
 import math
-import time
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .lineage import emit_partition_metrics
 
 MEDIA_FEATURES = T.StructType([
     T.StructField("url", T.StringType(), False),
@@ -82,19 +80,13 @@ def fake_features(data: bytes, bins: int = 16) -> tuple[float, list[float]]:
     return round(entropy, 6), [round(h, 6) for h in hist]
 
 
-def make_media_fn(run_id: str, metrics_dir: str | None, use_fake: bool = True):
+def make_media_fn(run_id: str, metrics_dir=None, use_fake: bool = True):
     def media_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t0 = time.monotonic()
-        docs = 0
-        n_bytes_total = 0
-        fails = 0
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in MEDIA_FEATURES.fields}
             for url, data in zip(pdf["url"], pdf["html"]):
-                docs += 1
                 data = bytes(data) if data is not None else None
                 n = len(data) if data else 0
-                n_bytes_total += n
                 kind = sniff_media_kind(data)
                 decoded = False
                 err = None
@@ -109,7 +101,6 @@ def make_media_fn(run_id: str, metrics_dir: str | None, use_fake: bool = True):
                             decode_media(data, kind)
                     except NotImplementedError as exc:
                         err = str(exc)[:120]
-                        fails += 1
                 out["url"].append(url)
                 out["media_kind"].append(kind)
                 out["n_bytes"].append(n)
@@ -122,9 +113,6 @@ def make_media_fn(run_id: str, metrics_dir: str | None, use_fake: bool = True):
             df = pd.DataFrame(out)
             df["n_bytes"] = df["n_bytes"].astype("int64")
             yield df
-        emit_partition_metrics(metrics_dir, run_id, "media", docs,
-                               n_bytes_total, fails,
-                               int((time.monotonic() - t0) * 1000))
     return media_fn
 
 

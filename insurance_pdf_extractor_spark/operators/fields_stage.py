@@ -12,35 +12,26 @@ are exposed separately as queries in __spark_entry__.py.
 
 from __future__ import annotations
 
-import time
 from collections.abc import Iterator
 
 import pandas as pd
 
 from .. import fields as FX
-from ..lineage import emit_partition_metrics
 from ..schemas import CLAIM_RAW, FIELDS_OUT
 
 _CLAIM_KEYS = [f.name for f in CLAIM_RAW.fields]
 
 
-def make_fields_fn(run_id: str, metrics_dir: str | None):
+def make_fields_fn(run_id: str):
     def fields_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t0 = time.monotonic()
-        docs = 0
-        n_bytes = 0
-        fails = 0
         for pdf in batches:
             out = pdf.copy()
             policy, insured, rdate, nchunks, claims = [], [], [], [], []
             spans = []
             for text in pdf["text"]:
-                docs += 1
-                n_bytes += len(text) if text else 0
                 try:
                     res = FX.extract_document_fields(text or "")
                 except Exception:
-                    fails += 1
                     res = {"policy_number": None, "insured_name": None,
                            "report_date": None, "num_chunks": 0,
                            "claims": [], "field_spans": []}
@@ -58,13 +49,12 @@ def make_fields_fn(run_id: str, metrics_dir: str | None):
             out["num_chunks"] = pd.array(nchunks, dtype="int32")
             out["claims_raw"] = claims
             out["field_spans"] = spans
+            out["_metric"] = None  # lineage rows only exist on the fused path
             yield out
-        emit_partition_metrics(metrics_dir, run_id, "fields", docs, n_bytes,
-                               fails, int((time.monotonic() - t0) * 1000))
     return fields_fn
 
 
-def extract_fields(df, run_id: str, metrics_dir: str | None = None):
-    """TOKENIZED → FIELDS_OUT DataFrame."""
-    return df.mapInPandas(make_fields_fn(run_id, metrics_dir),
-                          schema=FIELDS_OUT)
+def extract_fields(df, run_id: str, metrics_dir=None):
+    """TOKENIZED → FIELDS_OUT DataFrame (standalone unit-test path;
+    metrics_dir accepted and ignored — lineage lives in fused.py)."""
+    return df.mapInPandas(make_fields_fn(run_id), schema=FIELDS_OUT)

@@ -8,6 +8,11 @@ Arrow traffic while keeping the two stages' lineage rows distinct
 
 The standalone operators in tokenize.py / fields_stage.py remain the
 unit-testable reference path; run_pipeline uses this fused stage.
+
+Lineage (when ``emit_metrics``): per (stage, partition) the iterator
+appends ONE sentinel row (url=lineage.METRIC_URL, ``_metric`` JSON, all
+other columns NULL) to its output — metrics ride the staged parquet
+write instead of an executor-local filesystem side channel.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from .. import fields as FX
-from ..lineage import emit_partition_metrics
+from ..lineage import METRIC_URL, metric_json
 from ..schemas import CLAIM_RAW, FIELDS_OUT
 from .tokenize import _extract_one, _EMPTY
 
@@ -26,7 +31,16 @@ _CLAIM_KEYS = [f.name for f in CLAIM_RAW.fields]
 _OUT_COLS = [f.name for f in FIELDS_OUT.fields]
 
 
-def make_fused_fn(run_id: str, metrics_dir: str | None):
+def _metric_frame(payloads: list[str]) -> pd.DataFrame:
+    """Sentinel rows: all data columns NULL, _metric carries the JSON."""
+    out = {k: [None] * len(payloads) for k in _OUT_COLS}
+    out["url"] = [METRIC_URL] * len(payloads)
+    out["num_chunks"] = pd.array([None] * len(payloads), dtype="Int32")
+    out["_metric"] = payloads
+    return pd.DataFrame(out)
+
+
+def make_fused_fn(run_id: str, emit_metrics: bool = False):
     def fused_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
         docs = 0
@@ -84,20 +98,23 @@ def make_fused_fn(run_id: str, metrics_dir: str | None):
                     [{k: c.get(k) for k in _CLAIM_KEYS}
                      for c in fld["claims"]])
                 out["field_spans"].append(fld.get("field_spans", []))
+                out["_metric"].append(None)
             out["num_chunks"] = pd.array(out["num_chunks"], dtype="int32")
             yield pd.DataFrame(out)
-        wall = time.monotonic() - t0
-        emit_partition_metrics(metrics_dir, run_id, "tokenize", docs,
-                               in_bytes, tok_fails, int(tok_ms * 1000))
-        emit_partition_metrics(metrics_dir, run_id, "fields", docs,
-                               text_bytes, fld_fails,
-                               int((wall - tok_ms) * 1000))
+        if emit_metrics:
+            wall = time.monotonic() - t0
+            yield _metric_frame([
+                metric_json(run_id, "tokenize", docs, in_bytes, tok_fails,
+                            int(tok_ms * 1000)),
+                metric_json(run_id, "fields", docs, text_bytes, fld_fails,
+                            int((wall - tok_ms) * 1000)),
+            ])
     return fused_fn
 
 
-def tokenize_and_extract(df, run_id: str, metrics_dir: str | None = None):
+def tokenize_and_extract(df, run_id: str, emit_metrics: bool = False):
     """(sniffed web_pages) → FIELDS_OUT in a single Arrow crossing."""
     cols = ["url", "warc_ts", "html", "text", "lang", "doc_kind0",
             "oversize"]
     return df.select(*cols).mapInPandas(
-        make_fused_fn(run_id, metrics_dir), schema=FIELDS_OUT)
+        make_fused_fn(run_id, emit_metrics), schema=FIELDS_OUT)

@@ -15,13 +15,11 @@ opaque UDFs; SURVEY.md §7.3).
 
 from __future__ import annotations
 
-import time
 from collections.abc import Iterator
 
 import pandas as pd
 
 from .. import html_extract, textops
-from ..lineage import emit_partition_metrics
 from ..schemas import TOKENIZED
 
 _EMPTY = {"doc_kind": None, "text": "", "pages": [],
@@ -45,12 +43,8 @@ def _extract_one(kind0: str, html: bytes | None, text: str | None) -> dict:
     return out
 
 
-def make_tokenize_fn(run_id: str, metrics_dir: str | None):
+def make_tokenize_fn(run_id: str):
     def tokenize_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t0 = time.monotonic()
-        docs = 0
-        n_bytes = 0
-        fails = 0
         for pdf in batches:
             out_cols: dict[str, list] = {k: [] for k in (
                 "url", "warc_ts", "lang", "doc_kind", "text", "pages",
@@ -58,8 +52,6 @@ def make_tokenize_fn(run_id: str, metrics_dir: str | None):
             for url, ts, html, text, lang, kind0, oversize in zip(
                     pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
                     pdf["lang"], pdf["doc_kind0"], pdf["oversize"]):
-                docs += 1
-                n_bytes += len(html) if html is not None else 0
                 try:
                     if oversize:
                         res = dict(_EMPTY)
@@ -71,8 +63,6 @@ def make_tokenize_fn(run_id: str, metrics_dir: str | None):
                     res = dict(_EMPTY)
                     res["doc_kind"] = f"{kind0}_error"
                     res["error"] = f"{type(exc).__name__}: {exc}"
-                if res.get("error"):
-                    fails += 1
                 out_cols["url"].append(url)
                 out_cols["warc_ts"].append(ts)
                 out_cols["lang"].append(lang)
@@ -84,15 +74,15 @@ def make_tokenize_fn(run_id: str, metrics_dir: str | None):
                     list(res["recovered_claims"]))
                 out_cols["error"].append(res.get("error"))
             yield pd.DataFrame(out_cols)
-        emit_partition_metrics(metrics_dir, run_id, "tokenize", docs,
-                               n_bytes, fails,
-                               int((time.monotonic() - t0) * 1000))
     return tokenize_fn
 
 
-def tokenize(df, run_id: str, metrics_dir: str | None = None):
-    """(sniffed web_pages) → TOKENIZED DataFrame."""
+def tokenize(df, run_id: str, metrics_dir=None):
+    """(sniffed web_pages) → TOKENIZED DataFrame. Lineage emission lives
+    in the fused pipeline stage (operators/fused.py); this standalone
+    path is the unit-testable reference (metrics_dir accepted and
+    ignored for signature compatibility)."""
     cols = ["url", "warc_ts", "html", "text", "lang", "doc_kind0",
             "oversize"]
     return df.select(*cols).mapInPandas(
-        make_tokenize_fn(run_id, metrics_dir), schema=TOKENIZED)
+        make_tokenize_fn(run_id), schema=TOKENIZED)

@@ -7,12 +7,27 @@
       → tokenize  (mapInPandas)                # stage 2 (+2b html)
       → fields    (mapInPandas)                # stages 3+4
       → finalize  (native explode/window/agg)  # stage 5
-      → write docs + claims parquet, lineage rows per (stage, partition)
+      → write claims, then docs (commit marker), metrics table per
+        (stage, partition)
 
 Exactly one wide dependency (the explicit repartition) before the UDF
 stages; finalize's groupBy/window shuffles hash on url, which AQE is free
 to coalesce. At cluster scale the parquet writes become Iceberg appends —
 the layout (output keyed by url + a metrics side-table) is unchanged.
+
+Commit ordering / crash safety (append-based resume):
+  1. staged delta parquet (snapshot isolation vs the self-read-write
+     hazard: the resume anti-join reads the same docs path the run
+     appends to);
+  2. metrics append (diagnostic — safe to have extra rows);
+  3. claims append, itself anti-joined against already-committed claim
+     urls (idempotent when a previous run crashed between 3 and 4);
+  4. docs append LAST — docs urls are the resume marker, so a crash
+     anywhere before this leaves the delta uncommitted and the next run
+     redoes it; claims can never be permanently lost for a committed doc.
+On a real cluster steps 3+4 become a single multi-table Iceberg
+transaction; the ordering above is the strongest guarantee plain
+parquet-append offers.
 """
 
 from __future__ import annotations
@@ -26,7 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .lineage import read_metrics
+from .lineage import read_metrics, split_metrics
 from .operators.finalize import finalize
 from .operators.fused import tokenize_and_extract
 from .operators.sniff import sniff
@@ -38,8 +53,10 @@ class PipelineResult:
     docs: DataFrame
     claims: DataFrame
     metrics: DataFrame | None
-    docs_written: int
+    docs_written: int       # cumulative rows in the docs table (from the
+                            # metrics ledger — never a full-table rescan)
     wall_sec: float
+    docs_delta: int = 0     # rows this run actually processed
     cached: DataFrame | None = None  # no-output path pins the intermediate
 
     def unpersist(self) -> None:
@@ -48,11 +65,14 @@ class PipelineResult:
             self.cached.unpersist()
 
 
-def _committed_urls(spark: SparkSession, docs_path: str) -> DataFrame | None:
+def _committed_urls(spark: SparkSession, path: str) -> DataFrame | None:
+    """url column of a committed parquet table, or None if absent.
+    The file listing is snapshotted HERE (DataFrame creation), before any
+    same-run append — Iceberg-snapshot-like isolation for the anti-join."""
     try:
-        if os.path.isdir(docs_path) and any(
-                n.endswith(".parquet") for n in os.listdir(docs_path)):
-            return spark.read.parquet(docs_path).select("url")
+        if os.path.isdir(path) and any(
+                n.endswith(".parquet") for n in os.listdir(path)):
+            return spark.read.parquet(path).select("url")
     except Exception:
         pass
     return None
@@ -67,13 +87,13 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  cache_intermediate: bool = True) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
-    output_dir: if set, writes ``docs/`` + ``claims/`` parquet (append)
-    and per-partition lineage JSON under ``metrics/``; re-runs anti-join
+    output_dir: if set, writes ``claims/`` + ``docs/`` parquet (append)
+    and a Spark-written ``metrics/`` lineage table; re-runs anti-join
     committed urls first (idempotent — north_rule resumability).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.monotonic()
-    metrics_dir = os.path.join(output_dir, "metrics") if output_dir else None
+    metrics_path = os.path.join(output_dir, "metrics") if output_dir else None
     docs_path = os.path.join(output_dir, "docs") if output_dir else None
     claims_path = os.path.join(output_dir, "claims") if output_dir else None
 
@@ -103,32 +123,44 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     sniffed = sniff(df)
     # tokenize + fields run FUSED (one Arrow crossing for the fat text /
     # pages columns) while still emitting separate per-stage lineage rows
-    fields_df = tokenize_and_extract(sniffed, run_id, metrics_dir)
+    # (embedded sentinel rows — see lineage.py)
+    fields_df = tokenize_and_extract(sniffed, run_id,
+                                     emit_metrics=bool(output_dir))
 
-    docs_written = 0
     if output_dir:
         # Materialize the post-UDF intermediate BEFORE appending outputs:
         # 1. the docs/claims DAGs both branch off fields_df — without a
-        #    materialization the UDF stages re-execute per consumer
-        #    (3x tokenize) and lineage triple-counts;
-        # 2. the resume anti-join READS the docs path the job APPENDS to —
-        #    a lazy plan re-evaluated after the first append would see its
-        #    own output and silently drop the delta (self-read-write
-        #    hazard). Staging snapshots the delta first. On a real cluster
-        #    an Iceberg snapshot gives this isolation for free.
+        #    materialization the UDF stages re-execute per consumer;
+        # 2. snapshot isolation for the resume anti-join (see module doc).
         staging = os.path.join(output_dir, "_staging", run_id)
         fields_df.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
-        claims, docs = finalize(staged)
-        docs.write.mode("append").parquet(docs_path)
+        fields, metrics_delta = split_metrics(staged)
+        metrics_delta.write.mode("append").parquet(metrics_path)
+
+        claims, docs = finalize(fields)
+        # idempotent claims append: a crash after the claims append but
+        # before the docs append leaves claims committed for urls the
+        # resume anti-join will re-process — skip those urls' claims
+        committed_claims = _committed_urls(spark, claims_path)
+        if resume and committed_claims is not None:
+            claims = claims.join(committed_claims.distinct(), "url",
+                                 "left_anti")
         claims.write.mode("append").parquet(claims_path)
+        docs.write.mode("append").parquet(docs_path)
+        # delta = this run's staged rows (column-pruned count of the
+        # small staged delta); cumulative = metrics-ledger sum — NEVER a
+        # rescan of the full committed docs table (that's a full-history
+        # scan per incremental run at 100× scale)
+        docs_delta = fields.count()
         shutil.rmtree(staging, ignore_errors=True)
-        docs_out = spark.read.parquet(docs_path)
-        docs_written = docs_out.count()
-        metrics = read_metrics(spark, metrics_dir)
-        return PipelineResult(run_id, docs_out,
+        metrics = read_metrics(spark, metrics_path)
+        docs_written = (metrics.where(F.col("stage") == "fields")
+                        .agg(F.sum("doc_count")).collect()[0][0] or 0)
+        return PipelineResult(run_id, spark.read.parquet(docs_path),
                               spark.read.parquet(claims_path), metrics,
-                              docs_written, time.monotonic() - t0)
+                              int(docs_written), time.monotonic() - t0,
+                              docs_delta=docs_delta)
     # no-output path: finalize's docs plan branches twice off fields_df
     # (docs scalars + per-doc claims agg) — persisting lets the UDF stage
     # run once per action instead of twice. For LARGE corpora the pinned

@@ -81,6 +81,11 @@ FIELDS_OUT = T.StructType([
     T.StructField("num_chunks", T.IntegerType(), True),
     T.StructField("claims_raw", T.ArrayType(CLAIM_RAW), True),
     T.StructField("field_spans", T.ArrayType(FIELD_SPAN), True),
+    # per-partition lineage rides the data stream: one sentinel row per
+    # (stage, partition) with a JSON payload here, NULL on data rows —
+    # the only executor→driver metrics channel that works when executors
+    # don't share the driver's filesystem (lineage.py)
+    T.StructField("_metric", T.StringType(), True),
 ])
 
 # lineage/metrics table (FIXTURES.md §4; mandated by north_rule)

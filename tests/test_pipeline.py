@@ -189,9 +189,12 @@ class TestLineageAndResume:
         assert per_stage["fields"] == n_input
         assert res1.metrics.where(F.col("partition_id") < 0).count() == 0
 
+        assert res1.docs_delta == n_input
+
         # resume: second run adds ZERO rows (anti-join on committed urls)
         res2 = run_pipeline(spark, web_pages, output_dir=out, run_id="r2")
         assert res2.docs_written == n_input
+        assert res2.docs_delta == 0
         docs = spark.read.parquet(os.path.join(out, "docs"))
         assert docs.count() == n_input
         assert docs.select("url").distinct().count() == n_input
@@ -213,6 +216,31 @@ class TestLineageAndResume:
         nested_total = docs2.agg(F.sum("total_claims")).collect()[0][0]
         assert claims2.count() == nested_total
         assert claims2.join(docs2.select("url"), "url", "left_anti").count() == 0
+        assert res4.docs_delta == n_input - 30
+
+    def test_crash_between_appends_is_idempotent(self, spark, web_pages,
+                                                 tmp_path):
+        """Claims are committed BEFORE docs (docs = resume marker). If a
+        run dies between the two appends, the re-run must re-process those
+        urls without duplicating their claims (anti-join on committed
+        claim urls)."""
+        import shutil
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = str(tmp_path / "out")
+        run_pipeline(spark, web_pages, output_dir=out, run_id="c1")
+        # simulate the crash: docs append lost, claims + metrics survive
+        shutil.rmtree(os.path.join(out, "docs"))
+        res = run_pipeline(spark, web_pages, output_dir=out, run_id="c2")
+        assert res.docs_delta == web_pages.count()  # everything re-ran
+        docs = spark.read.parquet(os.path.join(out, "docs"))
+        claims = spark.read.parquet(os.path.join(out, "claims"))
+        assert docs.select("url").distinct().count() == docs.count()
+        # no claim row duplicated by the re-run
+        dup = (claims.groupBy("url", "claim_number").count()
+               .where(F.col("count") > 1).count())
+        assert dup == 0
+        nested_total = docs.agg(F.sum("total_claims")).collect()[0][0]
+        assert claims.count() == nested_total
 
 
 class TestPlanShape:
