@@ -109,6 +109,12 @@ def extract_main_content(html: str) -> str:
         parser.close()
     except Exception:
         pass
+    # malformed HTML: blocks left open at EOF (unclosed trailing <p>/<div>)
+    # would silently drop their text — flush them in open order
+    for blk in parser._stack:
+        if blk.text:
+            parser.blocks.append(blk)
+    parser._stack = []
     blocks = parser.blocks
     keep = [False] * len(blocks)
     for i, b in enumerate(blocks):

@@ -49,3 +49,18 @@ def test_whitespace_normalized():
         "<html><body><p>many   spaces\n and\t\ttabs make one normalized "
         "sentence of sufficient length</p></body></html>")
     assert "  " not in text
+
+
+def test_unclosed_trailing_block_is_flushed():
+    # EOF flush: content in a block never closed (malformed HTML) must
+    # still be extracted when it passes the density rules
+    body = ("main article content that dominates the page and was never "
+            "closed because the generator died mid-write")
+    text = extract_main_content(
+        f'<html><body><nav><a href="/">Home</a></nav><p>{body}')
+    assert body in text
+    # nested unclosed blocks flush in open order
+    text2 = extract_main_content(
+        "<div>outer block text long enough to pass the minimum chars rule"
+        "<p>inner paragraph also long enough to pass the rules easily here")
+    assert text2.index("outer") < text2.index("inner")
