@@ -804,6 +804,21 @@ def q_pipeline_documents(spark, sf):
                            F.length("text").alias("text_chars"))
 
 
+def q_extraction_quality(spark, sf):
+    """A11 on REAL pipeline output: the quality columns finalize computes
+    natively, verified against a DuckDB oracle that independently
+    reconstructs the HTML-extraction contract (banner + ws-normalized
+    body) and recomputes the reference formula
+    (backend/pdf_plumber.py:340-392) in SQL."""
+    web = _web_pages_from_documents(spark, sf)
+    res = run_pipeline(spark, web, output_dir=None, resume=False,
+                       cache_intermediate=False)
+    return res.docs.select(
+        "url", "total_lines", "non_empty_lines", "avg_line_length",
+        "page_markers", "claim_numbers_found", "completeness_score",
+        "is_complete")
+
+
 def q_media_features(spark, sf):
     from insurance_pdf_extractor_spark.multimodal import (
         extract_media_features)
@@ -880,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         # non-SQL: full pipeline + multimodal plumbing (rows-only checks)
         "pipeline_documents": q_pipeline_documents,
+        "extraction_quality": q_extraction_quality,
         "pipeline_fixture_claims": q_pipeline_fixture_claims,
         "media_features": q_media_features,
     }
@@ -888,6 +904,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# The flagship queries' DuckDB oracles reconstruct the pipeline's OUTPUT
+# CONTRACT independently in SQL: web_pages html = _HTML_PRE||text||_HTML_POST
+# over documents, whose boilerplate-strip extraction is (by the html_extract
+# contract) the banner + whitespace-normalized body.
+_SQL_HTML = (
+    "'" + _HTML_PRE.replace("'", "''").replace(chr(10), "' || chr(10) || '")
+    + "' || text || '" + _HTML_POST.replace("'", "''") + "'")
+_SQL_EXTRACTED = (
+    "repeat('=',80) || chr(10) || "
+    "'HTML DOCUMENT EXTRACTION (boilerplate-strip)' || chr(10) || "
+    "repeat('=',80) || chr(10) || chr(10) || "
+    "trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10)")
+_SQL_URL = "'https://testdata.local/doc/' || doc_id"
+
+
+def _pipeline_documents_sql() -> str:
+    return f"""
+            SELECT {_SQL_URL} AS url,
+                   'html' AS doc_kind,
+                   1 AS total_pages,
+                   CAST(length({_SQL_EXTRACTED}) AS INT) AS text_chars
+            FROM documents"""
+
+
+def _extraction_quality_sql() -> str:
+    """A11 formula (reference pdf_plumber.py:340-392) recomputed in SQL."""
+    return f"""
+            WITH ft AS (
+              SELECT {_SQL_URL} AS url, {_SQL_EXTRACTED} AS t
+              FROM documents
+            ), m AS (
+              SELECT url, t,
+                     string_split(t, chr(10)) AS ls,
+                     [l FOR l IN string_split(t, chr(10))
+                      IF regexp_matches(l, '\\S')] AS ne,
+                     CAST((length(t) - length(replace(t, 'PAGE ', ''))) // 5
+                          AS INT) AS page_markers,
+                     len(list_distinct(regexp_extract_all(t,
+                         'W\\d{{2}}IN\\d{{5}}|\\d{{6}}B')))
+                         AS claim_numbers_found
+              FROM ft
+            ), q AS (
+              SELECT url,
+                     CAST(len(ls) AS INT) AS total_lines,
+                     CAST(len(ne) AS INT) AS non_empty_lines,
+                     CASE WHEN len(ne) > 0 THEN round(
+                         list_sum([CAST(length(l) AS DOUBLE) FOR l IN ne])
+                         / len(ne), 2) ELSE 0.0 END AS avg_line_length,
+                     page_markers,
+                     CAST(claim_numbers_found AS INT) AS claim_numbers_found
+              FROM m
+            )
+            SELECT url, total_lines, non_empty_lines, avg_line_length,
+                   page_markers, claim_numbers_found,
+                   greatest(0.0, round(1.0
+                       - (CASE WHEN claim_numbers_found = 0
+                               THEN 0.5 ELSE 0.0 END)
+                       - (CASE WHEN avg_line_length < 10
+                               THEN 0.3 ELSE 0.0 END)
+                       - (CASE WHEN page_markers = 0
+                               THEN 0.2 ELSE 0.0 END), 2))
+                       AS completeness_score,
+                   greatest(0.0, round(1.0
+                       - (CASE WHEN claim_numbers_found = 0
+                               THEN 0.5 ELSE 0.0 END)
+                       - (CASE WHEN avg_line_length < 10
+                               THEN 0.3 ELSE 0.0 END)
+                       - (CASE WHEN page_markers = 0
+                               THEN 0.2 ELSE 0.0 END), 2)) >= 0.7
+                       AS is_complete
+            FROM q"""
+
+
+def _media_features_sql() -> str:
+    """Recomputes sha256 / n_bytes / kind AND the deterministic fake
+    entropy (high-nibble byte histogram → Shannon entropy) in SQL."""
+    return f"""
+            WITH f AS (
+              SELECT {_SQL_URL} AS url, {_SQL_HTML} AS s FROM documents
+            ), nib AS (
+              SELECT url,
+                     unnest(regexp_extract_all(hex(encode(s)), '(.).', 1))
+                         AS c
+              FROM f
+            ), cnt AS (
+              SELECT url, c, count(*)::DOUBLE AS n FROM nib GROUP BY url, c
+            ), ent AS (
+              SELECT url, round(-list_sum([p * log2(p) FOR p IN
+                         list(n / t ORDER BY strpos('0123456789ABCDEF', c))
+                         IF p > 0]), 6) AS entropy
+              FROM (SELECT url, c, n, sum(n) OVER (PARTITION BY url) AS t
+                    FROM cnt)
+              GROUP BY url
+            )
+            SELECT f.url, 'html' AS media_kind,
+                   CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+                   sha256(s) AS sha256, ent.entropy, true AS decoded
+            FROM f JOIN ent ON f.url = ent.url"""
+
+
+def _fixture_claims_sql() -> str:
+    """Frozen golden (tools/freeze_oracle_parquet.py): the fixture corpus
+    is synthetic PDFs whose parse can't be re-expressed in SQL; the byte
+    layer is independently covered by tests/golden + framing parity."""
+    return """
+            SELECT * FROM read_parquet(
+                '/root/repo/tests/golden/oracle/fixture_claims.parquet')"""
+
 
 def _finval_sql() -> str:
     # DOUBLE casts matter: DuckDB infers DECIMAL for the VALUES literals,
@@ -1400,6 +1525,10 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY cosine DESC, vec_a, vec_b) AS rn
               FROM pairs)
             SELECT label, vec_a, vec_b, cosine FROM ranked WHERE rn <= 3""",
+        "pipeline_documents": _pipeline_documents_sql(),
+        "extraction_quality": _extraction_quality_sql(),
+        "media_features": _media_features_sql(),
+        "pipeline_fixture_claims": _fixture_claims_sql(),
         "claim_id_regex": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
