@@ -22,8 +22,18 @@ from insurance_pdf_extractor_spark import funcs as C
 from insurance_pdf_extractor_spark.pipeline import run_pipeline
 
 
+_T_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table scan, memoized per (session, path): Spark 4 runs a footer-
+    read job on every spark.read.parquet call — reusing the DataFrame
+    keeps query BUILDERS job-free after first touch (test_plans.py
+    TestLazyBuilders) and avoids re-listing on every query."""
+    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    if key not in _T_CACHE:
+        _T_CACHE[key] = spark.read.parquet(key[1])
+    return _T_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -496,9 +506,10 @@ def q_ngram_jaccard_pairs(spark, sf):
         (F.col("doc_id") % 1000) < 50)  # bound the pair join
     sh = corpus.select("doc_id",
                        F.explode(_shingles(F.col("text"), 3)).alias("sh"))
-    rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
-            .where(F.col("df") <= SHINGLE_DF_CAP).select("sh"))
-    sh = sh.join(rare, "sh")
+    # window count (ONE shuffle on sh, exchange reused by both self-join
+    # sides) instead of groupBy+join (two extra shuffles)
+    sh = (sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+          .where(F.col("df") <= SHINGLE_DF_CAP).drop("df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (sh.alias("a").join(sh.alias("b"), "sh")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1374,11 +1385,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest({shingle3}) AS sh
               FROM (SELECT doc_id, string_split(text, ' ') AS words
                     FROM corpus)
-            ), rare AS (
-              SELECT sh FROM sh_all GROUP BY sh
-              HAVING count(*) <= {SHINGLE_DF_CAP}
             ), sh AS (
-              SELECT sh_all.* FROM sh_all JOIN rare USING (sh)
+              SELECT doc_id, sh FROM (
+                SELECT doc_id, sh,
+                       count(*) OVER (PARTITION BY sh) AS df
+                FROM sh_all)
+              WHERE df <= {SHINGLE_DF_CAP}
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
             ), pairs AS (

@@ -71,7 +71,8 @@ def main() -> None:
         "dedup_exact": qs["dedup_exact"],
         "minhash_signatures": qs["minhash_signatures"],
         "ngram_jaccard_pairs": qs["ngram_jaccard_pairs"],
-        "simhash16": qs["simhash16"],
+        "simhash64": qs["simhash64"],
+        "lsh_band_pairs": qs["lsh_band_pairs"],
         "ann_bruteforce": qs["ann_bruteforce"],
     }
 
