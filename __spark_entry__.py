@@ -762,6 +762,123 @@ def q_chunk_windows(spark, sf):
             .withColumn("chunk_len", F.length("chunk").cast("long")))
 
 
+CHUNK_TARGET = 100   # chars per chunk (= 25 est. tokens at 4 chars/token;
+                     # the reference targets 6000 tokens — scaled to the
+                     # testdata doc sizes so the planner actually splits)
+CHUNK_OVERLAP = 20   # reference default_overlap=300 chars, scaled
+
+
+def q_chunk_plan(spark, sf):
+    """G2 — dynamic chunk PLANNING, boundary-aware with overlap
+    (reference insurance_extractor.py:432-545): the reference asks an LLM
+    for split positions at natural boundaries; this twin snaps each
+    fixed-size split target to the LAST natural boundary (whitespace) in
+    its bucket — deterministic and STATELESS (no serial greedy walk), so
+    the plan is embarrassingly parallel per doc at corpus scale. Small
+    docs pass through as a single 'no_chunking_needed' chunk
+    (reference :444-452)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 20)         .select("doc_id", "text", F.length("text").alias("n"))
+    small = docs.where(F.col("n") <= CHUNK_TARGET).select(
+        "doc_id", F.lit(0).alias("chunk_id"),
+        F.lit(1).alias("start"), F.col("n").cast("int").alias("end"),
+        F.lit("no_chunking_needed").alias("strategy"))
+
+    big = docs.where(F.col("n") > CHUNK_TARGET)
+    # candidate boundaries: 1-based positions p where text[p] is a space.
+    # (test-scale position scan; at corpus scale emit match offsets from
+    # the tokenizer instead of scanning every char)
+    pos = big.select(
+        "doc_id", "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
+        F.substring("text", F.col("p"), 1).alias("ch"))
+    pos = pos.where(F.col("ch") == " ")
+    # bucket k = ceil(p / target); split for bucket k = last boundary at or
+    # before k*target; buckets touching the doc tail produce no split
+    pos = pos.withColumn(
+        "bucket", F.ceil(F.col("p") / CHUNK_TARGET).cast("int"))
+    splits = (pos.groupBy("doc_id", "n", "bucket")
+              .agg(F.max("p").alias("split"))
+              .where(F.col("bucket") < F.ceil(F.col("n") / CHUNK_TARGET)))
+    w = Window.partitionBy("doc_id").orderBy("split")
+    chunks = splits.select(
+        "doc_id", "n",
+        (F.row_number().over(w) - 1).alias("chunk_id"),
+        F.greatest(F.lit(1),
+                   F.coalesce(F.lag("split").over(w) + 1 - CHUNK_OVERLAP,
+                              F.lit(1))).alias("start"),
+        F.col("split").cast("int").alias("end"),
+        F.lead("split").over(w).alias("_next"))
+    # final chunk: from the last split (minus overlap) to the doc end
+    finals = (splits.groupBy("doc_id", "n")
+              .agg(F.max("split").alias("last_split"),
+                   F.count("*").alias("n_splits"))
+              .select("doc_id",
+                      F.col("n_splits").cast("int").alias("chunk_id"),
+                      F.greatest(F.lit(1), F.col("last_split") + 1
+                                 - CHUNK_OVERLAP).cast("int").alias("start"),
+                      F.col("n").cast("int").alias("end"),
+                      F.lit("boundary_aware").alias("strategy")))
+    body = chunks.select("doc_id", "chunk_id",
+                         F.col("start").cast("int").alias("start"), "end",
+                         F.lit("boundary_aware").alias("strategy"))
+    # big doc with NO boundary before its tail bucket: one whole-doc chunk
+    # (reference falls back to generous-overlap splitting when no clear
+    # boundaries exist; a doc must never vanish from the plan)
+    nosplit = (big.join(splits.select("doc_id").distinct(), "doc_id",
+                        "left_anti")
+               .select("doc_id", F.lit(0).alias("chunk_id"),
+                       F.lit(1).alias("start"),
+                       F.col("n").cast("int").alias("end"),
+                       F.lit("no_boundaries").alias("strategy")))
+    out = small.unionByName(body).unionByName(finals).unionByName(nosplit)
+    return out.withColumn("chunk_len",
+                          (F.col("end") - F.col("start") + 1).cast("int"))
+
+
+def q_slug_session(spark, sf):
+    """C12 — slug/session-id generation twin (reference
+    insurance_extractor.py:1530-1531: basename, spaces+dots -> '_',
+    20-char cap, timestamp prefix)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    base = F.concat(F.lit("Loss Run "), F.col("source"), F.lit(" "),
+                    F.col("doc_id"), F.lit(".pdf"))
+    slug = F.substring(
+        F.translate(base, " .", "__"), 1, 20)
+    ts = F.date_format(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+        "yyyyMMdd_HHmmss")
+    return docs.select(
+        "doc_id", base.alias("filename"), slug.alias("file_slug"),
+        F.concat(ts, F.lit("_"), slug).alias("session_id"))
+
+
+# O5 fixture: (url, detected_csv, extracted_csv) — missing ids batch in 5s
+_RETRY_VALUES = [
+    ("u1", "11,12,13,14,15,16,17,18,19,20,21,22", "12,17,19,21"),
+    ("u2", "31,32,33", "31,32,33"),
+    ("u3", "41,42,43,44,45,46", ""),
+]
+
+
+def q_retry_batches(spark, sf):
+    """O5 — batch-of-k retry planning twin (reference
+    insurance_extractor.py:1019-1030): missing = detected − extracted
+    claim ids, retried in batches of 5, max 2 attempts per batch."""
+    df = _values_df(spark, _RETRY_VALUES,
+                    ["url", "detected_csv", "extracted_csv"])
+    missing = F.array_sort(F.array_except(
+        F.split("detected_csv", ","),
+        F.when(F.col("extracted_csv") == "", F.array().cast("array<string>"))
+         .otherwise(F.split("extracted_csv", ","))))
+    ex = (df.select("url", F.posexplode(missing).alias("idx", "claim_id")))
+    return (ex.withColumn("batch_no",
+                          F.floor(F.col("idx") / 5).cast("int"))
+            .groupBy("url", "batch_no")
+            .agg(F.array_sort(F.collect_list("claim_id")).alias("claim_ids"),
+                 F.count("*").alias("batch_size"))
+            .withColumn("max_retries", F.lit(2)))
+
+
 _WM_VALUES = [
     (1, "CONFIDENTIAL"), (1, "body line one"), (1, "xx"),
     (2, "CONFIDENTIAL"), (2, "body line two"), (2, "xx"),
@@ -902,6 +1019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_vote": q_rotation_vote,
         "policy_forward_fill": q_policy_forward_fill,
         "chunk_windows": q_chunk_windows,
+        "chunk_plan": q_chunk_plan,
+        "slug_session": q_slug_session,
+        "retry_batches": q_retry_batches,
         "watermark_detect": q_watermark_detect,
         "embedding_near_dup": q_embedding_near_dup,
         # non-SQL: full pipeline + multimodal plumbing (rows-only checks)
@@ -1023,6 +1143,92 @@ def _fixture_claims_sql() -> str:
     return """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/golden/oracle/fixture_claims.parquet')"""
+
+
+def _chunk_plan_sql() -> str:
+    t, o = CHUNK_TARGET, CHUNK_OVERLAP
+    return f"""
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE doc_id < 20
+            ), small AS (
+              SELECT doc_id, 0 AS chunk_id, 1 AS start,
+                     CAST(n AS INT) AS "end",
+                     'no_chunking_needed' AS strategy
+              FROM d WHERE n <= {t}
+            ), pos AS (
+              SELECT doc_id, n, text, unnest(range(1, n + 1)) AS p
+              FROM d WHERE n > {t}
+            ), bnd AS (
+              SELECT doc_id, n, p,
+                     CAST(ceil(p / {t}.0) AS INT) AS bucket
+              FROM pos WHERE substr(text, CAST(p AS INT), 1) = ' '
+            ), splits AS (
+              SELECT doc_id, n, bucket, max(p) AS split
+              FROM bnd GROUP BY doc_id, n, bucket
+              HAVING bucket < ceil(n / {t}.0)
+            ), body AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER w - 1 AS INT) AS chunk_id,
+                     CAST(greatest(1, coalesce(lag(split) OVER w + 1 - {o},
+                                               1)) AS INT) AS start,
+                     CAST(split AS INT) AS "end",
+                     'boundary_aware' AS strategy
+              FROM splits
+              WINDOW w AS (PARTITION BY doc_id ORDER BY split)
+            ), finals AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS chunk_id,
+                     CAST(greatest(1, max(split) + 1 - {o}) AS INT) AS start,
+                     CAST(n AS INT) AS "end",
+                     'boundary_aware' AS strategy
+              FROM splits GROUP BY doc_id, n
+            ), nosplit AS (
+              SELECT doc_id, 0 AS chunk_id, 1 AS start,
+                     CAST(n AS INT) AS "end", 'no_boundaries' AS strategy
+              FROM d WHERE n > {t}
+                AND doc_id NOT IN (SELECT doc_id FROM splits)
+            ), un AS (
+              SELECT * FROM small UNION ALL
+              SELECT * FROM body UNION ALL
+              SELECT * FROM finals UNION ALL
+              SELECT * FROM nosplit
+            )
+            SELECT *, CAST("end" - start + 1 AS INT) AS chunk_len FROM un"""
+
+
+def _slug_session_sql() -> str:
+    base = "'Loss Run ' || source || ' ' || doc_id || '.pdf'"
+    slug = f"substr(replace(replace({base}, ' ', '_'), '.', '_'), 1, 20)"
+    ts = ("strftime(to_timestamp(1704067200 + doc_id), '%Y%m%d_%H%M%S')")
+    return f"""
+            SELECT doc_id, {base} AS filename, {slug} AS file_slug,
+                   {ts} || '_' || {slug} AS session_id
+            FROM documents WHERE doc_id < 50"""
+
+
+def _retry_batches_sql() -> str:
+    vals = _values_sql(_RETRY_VALUES,
+                       ["url", "detected_csv", "extracted_csv"])
+    return f"""
+            WITH t AS (SELECT * FROM {vals}),
+            m AS (
+              SELECT url, list_sort(list_filter(
+                  string_split(detected_csv, ','),
+                  x -> NOT list_contains(
+                      CASE WHEN extracted_csv = '' THEN []
+                           ELSE string_split(extracted_csv, ',') END, x)))
+                  AS missing
+              FROM t
+            ), ex AS (
+              SELECT url,
+                     unnest(range(0, len(missing))) AS idx,
+                     unnest(missing) AS claim_id
+              FROM m
+            )
+            SELECT url, CAST(idx // 5 AS INT) AS batch_no,
+                   list_sort(list(claim_id)) AS claim_ids,
+                   count(*) AS batch_size, 2 AS max_retries
+            FROM ex GROUP BY url, idx // 5"""
 
 
 def _finval_sql() -> str:
@@ -1537,6 +1743,9 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY cosine DESC, vec_a, vec_b) AS rn
               FROM pairs)
             SELECT label, vec_a, vec_b, cosine FROM ranked WHERE rn <= 3""",
+        "chunk_plan": _chunk_plan_sql(),
+        "slug_session": _slug_session_sql(),
+        "retry_batches": _retry_batches_sql(),
         "pipeline_documents": _pipeline_documents_sql(),
         "extraction_quality": _extraction_quality_sql(),
         "media_features": _media_features_sql(),
