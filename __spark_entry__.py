@@ -762,6 +762,99 @@ def q_chunk_windows(spark, sf):
             .withColumn("chunk_len", F.length("chunk").cast("long")))
 
 
+
+def q_windowed_event_counts(spark, sf):
+    """Tumbling-window aggregation (Structured Streaming's windowed-agg
+    shape, run on the batch table): 1-hour windows over events.ts. The
+    streaming variant (readStream + watermark) shares this exact plan —
+    see insurance_pdf_extractor_spark/streaming.py."""
+    ev = _t(spark, sf, "events")
+    w = F.window("ts", "1 hour")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("win_start"),
+                    "event_type", "n", "sum_value"))
+
+
+def q_sessionize_events(spark, sf):
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the batch twin of the applyInPandasWithState streaming operator in
+    insurance_pdf_extractor_spark/streaming.py. Classic two-window shape:
+    lag → new-session flag → running sum → per-session agg."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    gap = F.unix_timestamp("ts") - prev
+    new_sess = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    sess = (ev.withColumn("session_no",
+                          F.sum(new_sess).over(cum).cast("int")))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(F.unix_timestamp("ts")).alias("start_s"),
+                 F.max(F.unix_timestamp("ts")).alias("end_s"))
+            .withColumn("duration_s",
+                        (F.col("end_s") - F.col("start_s")).cast("long")))
+
+
+def q_latest_snapshot_per_url(spark, sf):
+    """Common-Crawl snapshot dedup: multiple (url, warc_ts) captures of
+    the same page → keep the latest (CDX-style). Corpus = documents with
+    a re-crawl twin one day later."""
+    docs = _t(spark, sf, "documents").select(
+        F.concat(F.lit("https://t.local/doc/"), F.col("doc_id"))
+         .alias("url"),
+        "doc_id", "n_chars")
+    snaps = (docs.select("url", "doc_id", "n_chars",
+                         (F.lit(1704067200) + F.col("doc_id"))
+                         .alias("warc_ts_s"))
+             .unionByName(
+                 docs.where(F.col("doc_id") % 3 == 0)
+                 .select("url", "doc_id", "n_chars",
+                         (F.lit(1704067200 + 86400) + F.col("doc_id"))
+                         .alias("warc_ts_s"))))
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts_s"))
+    return (snaps.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("url", "doc_id",
+                    F.col("warc_ts_s").cast("long").alias("warc_ts_s"),
+                    "n_chars"))
+
+
+_URL_VALUES = [
+    "HTTPS://Example.COM:443/Path/To/Page/?b=2&a=1#frag",
+    "http://example.com:80/index.html",
+    "https://sub.Example.org/a//b/",
+    "http://xn--test.de/umlaut",
+    "https://example.com",
+    "ftp://files.example.net/pub/file.txt",
+    "https://EXAMPLE.com/Path/?",
+]
+
+
+def q_url_normalize(spark, sf):
+    """URL canonicalization for web-corpus keying: lowercase scheme+host,
+    strip default ports, drop fragments and trailing '?', extract
+    registrable host."""
+    df = _values_df(spark, [(u,) for u in _URL_VALUES], ["url"])
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace("url", r"^[A-Za-z]+://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    path = F.regexp_extract(rest, r"^[^/?#]+([^#]*)", 1)
+    canon_port = F.when(
+        (scheme == "http") & hostport.endswith(":80"), host).when(
+        (scheme == "https") & hostport.endswith(":443"), host).otherwise(
+        hostport)
+    canon = F.concat(scheme, F.lit("://"), canon_port,
+                     F.regexp_replace(path, r"\?$", ""))
+    return df.select(
+        "url", scheme.alias("scheme"), host.alias("host"),
+        canon.alias("canonical"))
+
+
 CHUNK_TARGET = 100   # chars per chunk (= 25 est. tokens at 4 chars/token;
                      # the reference targets 6000 tokens — scaled to the
                      # testdata doc sizes so the planner actually splits)
@@ -1022,6 +1115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_plan": q_chunk_plan,
         "slug_session": q_slug_session,
         "retry_batches": q_retry_batches,
+        "windowed_event_counts": q_windowed_event_counts,
+        "sessionize_events": q_sessionize_events,
+        "latest_snapshot_per_url": q_latest_snapshot_per_url,
+        "url_normalize": q_url_normalize,
         "watermark_detect": q_watermark_detect,
         "embedding_near_dup": q_embedding_near_dup,
         # non-SQL: full pipeline + multimodal plumbing (rows-only checks)
@@ -1143,6 +1240,24 @@ def _fixture_claims_sql() -> str:
     return """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/golden/oracle/fixture_claims.parquet')"""
+
+
+def _url_normalize_sql() -> str:
+    vals = _values_sql([(u,) for u in _URL_VALUES], ["url"])
+    scheme = "lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"
+    rest = "regexp_replace(url, '^[A-Za-z]+://', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]+)', 1))"
+    host = f"regexp_replace({hostport}, ':\\d+$', '')"
+    path = f"regexp_extract({rest}, '^[^/?#]+([^#]*)', 1)"
+    canon_port = (f"CASE WHEN {scheme} = 'http' AND ends_with({hostport}, "
+                  f"':80') THEN {host} "
+                  f"WHEN {scheme} = 'https' AND ends_with({hostport}, "
+                  f"':443') THEN {host} ELSE {hostport} END")
+    return f"""
+            SELECT url, {scheme} AS scheme, {host} AS host,
+                   {scheme} || '://' || {canon_port}
+                   || regexp_replace({path}, '\\?$', '') AS canonical
+            FROM {vals}"""
 
 
 def _chunk_plan_sql() -> str:
@@ -1743,6 +1858,50 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY cosine DESC, vec_a, vec_b) AS rn
               FROM pairs)
             SELECT label, vec_a, vec_b, cosine FROM ranked WHERE rn <= 3""",
+        "windowed_event_counts": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+                       AS win_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "latest_snapshot_per_url": """
+            WITH snaps AS (
+              SELECT 'https://t.local/doc/' || doc_id AS url, doc_id,
+                     n_chars, 1704067200 + doc_id AS warc_ts_s
+              FROM documents
+              UNION ALL
+              SELECT 'https://t.local/doc/' || doc_id, doc_id, n_chars,
+                     1704067200 + 86400 + doc_id
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT url, doc_id, CAST(warc_ts_s AS BIGINT) AS warc_ts_s,
+                   n_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY url
+                      ORDER BY warc_ts_s DESC) AS rn FROM snaps)
+            WHERE rn = 1""",
+        "url_normalize": _url_normalize_sql(),
+        "sessionize_events": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), flagged AS (
+              SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM o
+            ), numbered AS (
+              SELECT user_id, event_id, t,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS INT) AS session_no
+              FROM flagged
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(t) AS start_s, max(t) AS end_s,
+                   CAST(max(t) - min(t) AS BIGINT) AS duration_s
+            FROM numbered GROUP BY user_id, session_no""",
         "chunk_plan": _chunk_plan_sql(),
         "slug_session": _slug_session_sql(),
         "retry_batches": _retry_batches_sql(),

@@ -49,3 +49,114 @@ def ingest_available_now(spark: SparkSession, landing_dir: str,
              .start())
     query.awaitTermination()
     return n_batches
+
+
+def windowed_counts_stream(spark: SparkSession, landing_dir: str,
+                           output_dir: str, window: str = "1 hour",
+                           watermark: str = "2 hours",
+                           max_files_per_trigger: int = 1) -> None:
+    """Watermarked tumbling-window aggregation over an events stream
+    (SURVEY.md §2.10 / task-brief late-data mandate).
+
+    Append mode: a window is emitted exactly once, when the watermark
+    (max event time seen so far minus `watermark`) passes its end —
+    late rows beyond that are dropped, on-time rows accumulate in state.
+    ``maxFilesPerTrigger=1`` makes each landing file a micro-batch, so
+    the watermark advances deterministically file-by-file.
+    """
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(landing_dir).schema
+    checkpoint = os.path.join(output_dir, "_checkpoint")
+    out_path = os.path.join(output_dir, "windowed")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", str(max_files_per_trigger))
+          .parquet(landing_dir))
+    agg = (ev.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count("*").alias("n"))
+           .select(F.unix_timestamp("w.start").alias("win_start"),
+                   "event_type", "n"))
+    q = (agg.writeStream.outputMode("append").format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def sessionize_stream(spark: SparkSession, landing_dir: str,
+                      output_dir: str, gap_s: int = 1800,
+                      max_files_per_trigger: int = 1,
+                      idle_timeout_ms: int | None = None) -> None:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the task brief's named mechanism for
+    operators Spark lacks built-in).
+
+    State per user = (session_start, last_ts, n_events). A session is
+    EMITTED when a gap > gap_s closes it; the trailing open session stays
+    in state. ``idle_timeout_ms`` (continuous deployments only) flushes
+    idle users' open sessions via ProcessingTimeTimeout — it must stay
+    None under Trigger.AvailableNow, where a processing-time timeout
+    makes the drain loop ("no new data but cleaning up state") run
+    forever. Batch twin with a DuckDB oracle:
+    __spark_entry__.q_sessionize_events.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(landing_dir).schema
+    checkpoint = os.path.join(output_dir, "_checkpoint")
+    out_path = os.path.join(output_dir, "sessions")
+
+    out_schema = ("user_id long, session_start long, session_end long, "
+                  "n_events long")
+    state_schema = "session_start long, last_ts long, n_events long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id],
+                                "session_start": [start],
+                                "session_end": [last], "n_events": [n]})
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(t.timestamp()) for t in pdf["ts"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0] - 1, 0  # sentinel: first row opens
+        closed = {"user_id": [], "session_start": [], "session_end": [],
+                  "n_events": []}
+        for t in ts:
+            if n and t - last > gap_s:
+                closed["user_id"].append(user_id)
+                closed["session_start"].append(start)
+                closed["session_end"].append(last)
+                closed["n_events"].append(n)
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", str(max_files_per_trigger))
+          .parquet(landing_dir))
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if idle_timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout)
+    sessions = (ev.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=timeout_conf))
+    q = (sessions.writeStream.outputMode("append").format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -67,14 +67,18 @@ with mp.Pool(procs) as p:
 
 
 QUIET = float(os.environ.get("SCALING_QUIET_THRESHOLD", "3.0"))
+MAX_WAIT = float(os.environ.get("SCALING_MAX_WAIT", "600"))
 
 
-def wait_quiet(max_wait: float = 600.0, threshold: float | None = None) -> float:
+def wait_quiet(max_wait: float | None = None,
+               threshold: float | None = None) -> float:
     """Block until host 1-min loadavg < threshold (this box has noisy
     neighbors that collapse 32-core throughput 3x — measuring through a
     spike records garbage). Returns the loadavg at release."""
     if threshold is None:
         threshold = QUIET
+    if max_wait is None:
+        max_wait = MAX_WAIT
     t0 = time.monotonic()
     while True:
         with open("/proc/loadavg") as f:
