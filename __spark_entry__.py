@@ -22,18 +22,24 @@ from insurance_pdf_extractor_spark import funcs as C
 from insurance_pdf_extractor_spark.pipeline import run_pipeline
 
 
-_T_CACHE: dict[tuple[int, str], DataFrame] = {}
+# single-session memo: (session, {path: DataFrame}); reset whenever a
+# different session arrives, so no DataFrame bound to a stopped session
+# can ever be served and dead sessions aren't pinned
+_T_CACHE: list = [None, {}]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Table scan, memoized per (session, path): Spark 4 runs a footer-
-    read job on every spark.read.parquet call — reusing the DataFrame
-    keeps query BUILDERS job-free after first touch (test_plans.py
-    TestLazyBuilders) and avoids re-listing on every query."""
-    key = (id(spark), f"{sf_dir}/{name}.parquet")
-    if key not in _T_CACHE:
-        _T_CACHE[key] = spark.read.parquet(key[1])
-    return _T_CACHE[key]
+    """Table scan, memoized per session: Spark 4 runs a footer-read job
+    on every spark.read.parquet call — reusing the DataFrame keeps query
+    BUILDERS job-free after first touch (test_plans.py TestLazyBuilders)
+    and avoids re-listing on every query."""
+    if _T_CACHE[0] is not spark:
+        _T_CACHE[0] = spark
+        _T_CACHE[1] = {}
+    path = f"{sf_dir}/{name}.parquet"
+    if path not in _T_CACHE[1]:
+        _T_CACHE[1][path] = spark.read.parquet(path)
+    return _T_CACHE[1][path]
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +121,9 @@ _STOPWORDS = ["the", "a", "of", "and", "to"]
 # C10 fixtures: clean / off-by-cents / big mismatch / negatives / nulls
 _FINVAL_VALUES = [
     ("V1", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 200.0),    # exact
-    ("V2", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 200.02),   # inside tolerance
+    ("V2", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 200.01),   # inside tolerance
+                                                          # (IEEE: 200.02
+                                                          # would FIRE)
     ("V3", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 200.03),   # just outside
     ("V4", 100.0, 50.0, 10.0, 40.0, 0.0, 0.0, 999.0),    # way off
     ("V5", -5.0, 50.0, 10.0, 40.0, 0.0, 0.0, 95.0),      # negative paid
@@ -123,9 +131,9 @@ _FINVAL_VALUES = [
     ("V7", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -10.0),         # negative total
     ("V8", None, 50.0, 10.0, 40.0, 0.0, 0.0, 100.0),     # null → 0.0
 ]
-_FINVAL_COLS = ["claim_number", "medical_paid", "medical_reserve",
-                "indemnity_paid", "indemnity_reserve", "expense_paid",
-                "expense_reserve", "total_incurred"]
+# single source of truth for field ORDER: funcs.FINVAL_FIELDS (the
+# reference's iteration order drives error-string ordering)
+_FINVAL_COLS = ["claim_number", *C.FINVAL_FIELDS]
 
 
 def _values_sql(rows, cols) -> str:
@@ -899,8 +907,7 @@ def q_chunk_plan(spark, sf):
         F.greatest(F.lit(1),
                    F.coalesce(F.lag("split").over(w) + 1 - CHUNK_OVERLAP,
                               F.lit(1))).alias("start"),
-        F.col("split").cast("int").alias("end"),
-        F.lead("split").over(w).alias("_next"))
+        F.col("split").cast("int").alias("end"))
     # final chunk: from the last split (minus overlap) to the doc end
     finals = (splits.groupBy("doc_id", "n")
               .agg(F.max("split").alias("last_split"),
@@ -1352,9 +1359,7 @@ def _finval_sql() -> str:
     # float arithmetic, where the same diff is 0.02000000000001 > 0.02 and
     # the warning FIRES. Matching the reference requires IEEE doubles.
     vals = _values_sql(_FINVAL_VALUES, _FINVAL_COLS)
-    fields = ["medical_paid", "medical_reserve", "indemnity_paid",
-              "indemnity_reserve", "expense_paid", "expense_reserve",
-              "total_incurred"]
+    fields = list(C.FINVAL_FIELDS)
     d = {f: f"coalesce(CAST({f} AS DOUBLE), 0.0)" for f in fields}
     calc = "(" + " + ".join(d[f] for f in fields[:-1]) + ")"
     checks = [

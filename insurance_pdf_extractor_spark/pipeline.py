@@ -53,8 +53,8 @@ class PipelineResult:
     docs: DataFrame
     claims: DataFrame
     metrics: DataFrame | None
-    docs_written: int       # cumulative rows in the docs table (from the
-                            # metrics ledger — never a full-table rescan)
+    docs_written: int       # cumulative rows in the docs table
+                            # (committed-before + this run's delta)
     wall_sec: float
     docs_delta: int = 0     # rows this run actually processed
     cached: DataFrame | None = None  # no-output path pins the intermediate
@@ -98,11 +98,16 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     claims_path = os.path.join(output_dir, "claims") if output_dir else None
 
     df = web_pages
+    committed_before = 0
     if resume and docs_path:
         committed = _committed_urls(spark, docs_path)
         if committed is not None:
             # J1 pattern at run granularity: skip already-extracted urls
             df = df.join(committed, "url", "left_anti")
+            # footer-only count (empty projection — parquet row-group
+            # metadata, no column decode; Iceberg snapshot metadata at
+            # cluster scale) on a table this resume path reads anyway
+            committed_before = committed.count()
 
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
@@ -149,17 +154,18 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         claims.write.mode("append").parquet(claims_path)
         docs.write.mode("append").parquet(docs_path)
         # delta = this run's staged rows (column-pruned count of the
-        # small staged delta); cumulative = metrics-ledger sum — NEVER a
-        # rescan of the full committed docs table (that's a full-history
-        # scan per incremental run at 100× scale)
+        # small staged delta); cumulative = committed-before + delta —
+        # exact in every crash-resume scenario (a metrics-ledger sum
+        # would double-count deltas whose metrics committed but whose
+        # docs append crashed), and never a DATA rescan of the committed
+        # table (the count above is footer-metadata-only)
         docs_delta = fields.count()
         shutil.rmtree(staging, ignore_errors=True)
         metrics = read_metrics(spark, metrics_path)
-        docs_written = (metrics.where(F.col("stage") == "fields")
-                        .agg(F.sum("doc_count")).collect()[0][0] or 0)
         return PipelineResult(run_id, spark.read.parquet(docs_path),
                               spark.read.parquet(claims_path), metrics,
-                              int(docs_written), time.monotonic() - t0,
+                              committed_before + docs_delta,
+                              time.monotonic() - t0,
                               docs_delta=docs_delta)
     # no-output path: finalize's docs plan branches twice off fields_df
     # (docs scalars + per-doc claims agg) — persisting lets the UDF stage

@@ -32,6 +32,10 @@ def get_spark(app_name: str = "insurance_pdf_extractor_spark",
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pinned UTC: event-time ops (unix_timestamp, window()) must not
+        # depend on the host timezone — oracle parity and cross-cluster
+        # reproducibility both require it
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
