@@ -935,6 +935,32 @@ def q_chunk_plan(spark, sf):
                           (F.col("end") - F.col("start") + 1).cast("int"))
 
 
+def q_chunk_integrity(spark, sf):
+    """G4 — chunking integrity report: per doc, chunk count, char totals,
+    full-coverage + overlap checks, and a preview (reference's chunk
+    report, insurance_extractor.py:576-589 prints id/size/preview per
+    chunk)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 20) \
+        .select("doc_id", F.length("text").alias("n"),
+                F.substring("text", 1, 40).alias("first_chunk_preview"))
+    plan = q_chunk_plan(spark, sf)
+    agg = (plan.groupBy("doc_id")
+           .agg(F.count("*").alias("n_chunks"),
+                F.sum("chunk_len").cast("long").alias("total_chunk_chars"),
+                F.min("start").alias("min_start"),
+                F.max("end").alias("max_end"),
+                F.max(F.col("strategy")).alias("strategy")))
+    return (agg.join(docs, "doc_id")
+            .select("doc_id", "n_chunks", "total_chunk_chars", "strategy",
+                    ((F.col("min_start") == 1) & (F.col("max_end")
+                                                  == F.col("n")))
+                    .alias("covers_doc"),
+                    # overlap chars = chunk chars beyond the doc length
+                    (F.col("total_chunk_chars") - F.col("n")).cast("long")
+                    .alias("overlap_chars"),
+                    "first_chunk_preview"))
+
+
 def q_slug_session(spark, sf):
     """C12 — slug/session-id generation twin (reference
     insurance_extractor.py:1530-1531: basename, spaces+dots -> '_',
@@ -950,6 +976,39 @@ def q_slug_session(spark, sf):
     return docs.select(
         "doc_id", base.alias("filename"), slug.alias("file_slug"),
         F.concat(ts, F.lit("_"), slug).alias("session_id"))
+
+
+# §2.12 format-analysis fixture: one text per layout family
+_FMT_VALUES = [
+    ("d1", "Claim# Employee Status Med Paid Med Resv Ind Paid Ind Resv "
+           "Exp Paid Total Incurred\n123 Smith OPEN 10 5 0 0 1 16"),
+    ("d2", "CLAIM 9910 JONES\nReserves 100 50 10\nPayments 30 20 5\n"
+           "Incurred 130 70 15"),
+    ("d3", "Dear customer, this letter confirms your policy renewal."),
+    ("d4", "summary table\nInd Paid | Med Paid | Total\n5 | 10 | 15"),
+    ("d5", "Payments schedule attached."),  # one label only -> unknown
+]
+
+
+def q_format_analysis(spark, sf):
+    """§2.12 STAGE-1 format analysis, deterministic twin (reference
+    insurance_extractor.py:591-656 asks GPT-4o; the classifier locks in
+    the prompt's own taxonomy): >=2 simple-column header keywords ->
+    simple_columns; else both multi-row anchors (Payments AND Reserves)
+    -> complex_multi_row; else unknown."""
+    df = _values_df(spark, _FMT_VALUES, ["doc", "text"])
+    up = F.upper(F.col("text"))
+    kw = ["MED PAID", "MED RESV", "IND PAID", "IND RESV", "EXP PAID",
+          "TOTAL INCURRED"]
+    hits = sum((F.when(up.contains(k), 1).otherwise(0) for k in kw),
+               F.lit(0))
+    multirow = up.contains("PAYMENTS") & up.contains("RESERVES")
+    fmt = (F.when(hits >= 2, "simple_columns")
+            .when(multirow, "complex_multi_row")
+            .otherwise("unknown"))
+    return df.select("doc", hits.cast("int").alias("keyword_hits"),
+                     multirow.alias("has_multirow_anchors"),
+                     fmt.alias("format_type"))
 
 
 # O5 fixture: (url, detected_csv, extracted_csv) — missing ids batch in 5s
@@ -1120,8 +1179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_forward_fill": q_policy_forward_fill,
         "chunk_windows": q_chunk_windows,
         "chunk_plan": q_chunk_plan,
+        "chunk_integrity": q_chunk_integrity,
         "slug_session": q_slug_session,
         "retry_batches": q_retry_batches,
+        "format_analysis": q_format_analysis,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize_events": q_sessionize_events,
         "latest_snapshot_per_url": q_latest_snapshot_per_url,
@@ -1247,6 +1308,46 @@ def _fixture_claims_sql() -> str:
     return """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/golden/oracle/fixture_claims.parquet')"""
+
+
+def _format_analysis_sql() -> str:
+    vals = _values_sql(_FMT_VALUES, ["doc", "text"])
+    kw = ["MED PAID", "MED RESV", "IND PAID", "IND RESV", "EXP PAID",
+          "TOTAL INCURRED"]
+    hits = " + ".join(
+        f"CASE WHEN contains(upper(text), '{k}') THEN 1 ELSE 0 END"
+        for k in kw)
+    multirow = ("contains(upper(text), 'PAYMENTS') AND "
+                "contains(upper(text), 'RESERVES')")
+    return f"""
+            SELECT doc, CAST(({hits}) AS INT) AS keyword_hits,
+                   ({multirow}) AS has_multirow_anchors,
+                   CASE WHEN ({hits}) >= 2 THEN 'simple_columns'
+                        WHEN {multirow} THEN 'complex_multi_row'
+                        ELSE 'unknown' END AS format_type
+            FROM {vals}"""
+
+
+def _chunk_integrity_sql() -> str:
+    plan = _chunk_plan_sql()
+    return f"""
+            WITH plan AS ({plan}),
+            docs AS (
+              SELECT doc_id, length(text) AS n,
+                     substr(text, 1, 40) AS first_chunk_preview
+              FROM documents WHERE doc_id < 20
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_chunks,
+                     CAST(sum(chunk_len) AS BIGINT) AS total_chunk_chars,
+                     min(start) AS min_start, max("end") AS max_end,
+                     max(strategy) AS strategy
+              FROM plan GROUP BY doc_id
+            )
+            SELECT a.doc_id, n_chunks, total_chunk_chars, strategy,
+                   (min_start = 1 AND max_end = n) AS covers_doc,
+                   CAST(total_chunk_chars - n AS BIGINT) AS overlap_chars,
+                   first_chunk_preview
+            FROM agg a JOIN docs d ON a.doc_id = d.doc_id"""
 
 
 def _url_normalize_sql() -> str:
@@ -1885,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY warc_ts_s DESC) AS rn FROM snaps)
             WHERE rn = 1""",
         "url_normalize": _url_normalize_sql(),
+        "format_analysis": _format_analysis_sql(),
         "sessionize_events": """
             WITH o AS (
               SELECT user_id, event_id, ts,
@@ -1908,6 +2010,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(t) - min(t) AS BIGINT) AS duration_s
             FROM numbered GROUP BY user_id, session_no""",
         "chunk_plan": _chunk_plan_sql(),
+        "chunk_integrity": _chunk_integrity_sql(),
         "slug_session": _slug_session_sql(),
         "retry_batches": _retry_batches_sql(),
         "pipeline_documents": _pipeline_documents_sql(),
