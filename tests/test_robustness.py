@@ -97,3 +97,44 @@ class TestParserFuzz:
         cut = rng.randrange(5, len(data))
         res = extract_pdf_document(data[:cut])
         assert isinstance(res["text"], str)
+
+
+class TestPurePropertyRound2:
+    @given(st.text(max_size=2000))
+    @settings(max_examples=150, deadline=None)
+    def test_html_extractor_never_raises(self, text):
+        # incl. unclosed tags / random angle brackets (EOF-flush path)
+        from insurance_pdf_extractor_spark.html_extract import (
+            extract_html_document)
+        res = extract_html_document(text.encode("utf-8", "replace"))
+        assert res["doc_kind"] == "html"
+        assert isinstance(res["text"], str)
+
+    @given(st.lists(
+        st.lists(st.one_of(st.none(),
+                           st.text(alphabet=st.characters(
+                               blacklist_characters="|\n",
+                               blacklist_categories=("Cs",)),
+                               max_size=12)),
+                 min_size=1, max_size=5),
+        min_size=1, max_size=6))
+    @settings(max_examples=150, deadline=None)
+    def test_format_table_roundtrip_property(self, table):
+        """Any rectangular cell grid must survive format -> de-format
+        (the inverse used against the reference's shipped tables)."""
+        from insurance_pdf_extractor_spark import textops
+        ncols = len(table[0])
+        table = [list(r[:ncols]) + [None] * (ncols - len(r))
+                 for r in table]
+        out = textops.format_table(table)
+        if not out:
+            return
+        lines = out.split("\n")
+        # ambiguous recovery when a stripped cell still contains ' | '
+        grid = [[c.strip() for c in ln.split(" | ")]
+                for i, ln in enumerate(lines) if i != 1]
+        if any(len(r) != ncols for r in grid):
+            return
+        expect = [[(str(c).strip() if c else "") for c in row]
+                  for row in table]
+        assert grid == expect
