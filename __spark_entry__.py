@@ -485,13 +485,11 @@ _MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
 def _hex32(h, offset):
-    """Parse 8 hex chars of an md5 column (1-based offset) to a long —
-    ascii arithmetic only, identical in Spark and DuckDB."""
-    v = F.lit(0).cast("long")  # long from the start: 16^8 overflows int32
-    for i in range(8):
-        a = F.ascii(F.substring(h, offset + i, 1))
-        v = v * 16 + F.when(a <= 57, a - 48).otherwise(a - 87).cast("long")
-    return v
+    """Parse 8 hex chars of an md5 column (1-based offset) to a long.
+    Spark side uses native conv() (JVM, one call); the DuckDB oracle twin
+    (_hex32_sql) does per-char ascii arithmetic — same value, DuckDB just
+    has no conv()."""
+    return F.conv(F.substring(h, offset, 8), 16, 10).cast("long")
 
 
 def _hex32_sql(col, offset):
