@@ -16,6 +16,8 @@ behaviors the reference gets from pdfplumber:
 
 from __future__ import annotations
 
+import bisect
+
 from .parser import PDFPage, Segment, TextRun
 
 CHAR_W = 6.0          # monospace grid cell width (pt) for layout rendering
@@ -91,15 +93,18 @@ def group_lines(runs: list[TextRun]) -> list[list[TextRun]]:
 def word_boxes(page: PDFPage) -> list[dict]:
     """T9: explicit line/word boxes — array<struct<x0,y0,x1,y1,text>>."""
     boxes = []
+    rnd = round
     for r in page.runs:
         x = r.x
+        w_unit = r.size * 0.6  # per-char advance, constant per run
+        y0 = rnd(r.y, 2)
+        y1 = rnd(r.y + r.size, 2)
         for word in r.text.split(" "):
             if word:
-                w = len(word) * r.size * 0.6
-                boxes.append({"x0": round(x, 2), "y0": round(r.y, 2),
-                              "x1": round(x + w, 2),
-                              "y1": round(r.y + r.size, 2), "text": word})
-            x += (len(word) + 1) * r.size * 0.6
+                boxes.append({"x0": rnd(x, 2), "y0": y0,
+                              "x1": rnd(x + len(word) * w_unit, 2),
+                              "y1": y1, "text": word})
+            x += (len(word) + 1) * w_unit
     return boxes
 
 
@@ -239,16 +244,23 @@ def detect_tables(page: PDFPage) -> list[Table]:
         inside = [r for r in page.runs if not r.vertical
                   and x0 - 1 <= r.x <= x1 + 1
                   and top - 1 <= r.y + r.height / 2 <= bottom + 1]
+        # single-pass bucket assignment (bisect) instead of scanning all
+        # runs per cell — same membership as `cx0 <= x < cx1` /
+        # `ry0 <= ymid < ry1` (bisect_right is exactly the half-open rule)
+        n_rows, n_cols = len(row_ys) - 1, len(col_xs) - 1
+        cells: dict[tuple[int, int], list] = {}
+        for r in inside:
+            ymid = r.y + r.height / 2
+            ri = bisect.bisect_right(row_ys, ymid) - 1
+            ci = bisect.bisect_right(col_xs, r.x) - 1
+            if 0 <= ri < n_rows and 0 <= ci < n_cols:
+                cells.setdefault((ri, ci), []).append(r)
         rows: list[list[str | None]] = []
-        for ri in range(len(row_ys) - 1):
-            ry0, ry1 = row_ys[ri], row_ys[ri + 1]
+        for ri in range(n_rows):
             row: list[str | None] = []
-            for ci in range(len(col_xs) - 1):
-                cx0, cx1 = col_xs[ci], col_xs[ci + 1]
-                cell_runs = sorted(
-                    (r for r in inside
-                     if cx0 <= r.x < cx1 and ry0 <= r.y + r.height / 2 < ry1),
-                    key=lambda r: (r.y, r.x))
+            for ci in range(n_cols):
+                cell_runs = sorted(cells.get((ri, ci), ()),
+                                   key=lambda r: (r.y, r.x))
                 row.append(" ".join(r.text for r in cell_runs) or None)
             rows.append(row)
         tables.append(Table((x0, top, x1, bottom), rows))

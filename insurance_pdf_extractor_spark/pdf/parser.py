@@ -319,13 +319,14 @@ def _interpret_fast(stream: bytes, page: PDFPage) -> bool:
         if _WS_ONLY_RE.fullmatch(stream, pos, m.start()) is None:
             return False  # unknown operators between matches
         pos = m.end()
-        if m.group(1) is not None:
-            size = float(m.group(1))
-            a = float(m.group(2))
-            b = float(m.group(3))
-            e = float(m.group(6))
-            f = float(m.group(7))
-            raw = m.group(8)
+        g = m.groups()  # one call instead of 8 .group() lookups
+        if g[0] is not None:
+            size = float(g[0])
+            a = float(g[1])
+            b = float(g[2])
+            e = float(g[5])
+            f = float(g[6])
+            raw = g[7]
             s = (raw.decode("latin-1") if b"\\" not in raw
                  else _parse_string(b"(" + raw + b")", 0)[0])
             if s:
@@ -334,8 +335,8 @@ def _interpret_fast(stream: bytes, page: PDFPage) -> bool:
                 runs.append(TextRun(x=e, y=y - (0 if vertical else size),
                                     text=s, size=size, vertical=vertical))
         else:
-            x0, y0 = float(m.group(9)), H - float(m.group(10))
-            x1, y1 = float(m.group(11)), H - float(m.group(12))
+            x0, y0 = float(g[8]), H - float(g[9])
+            x1, y1 = float(g[10]), H - float(g[11])
             segs.append((x0, y0, x1, y1))
     if _WS_ONLY_RE.fullmatch(stream, pos) is None:
         return False  # trailing unknown content
