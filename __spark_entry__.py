@@ -1031,7 +1031,10 @@ def q_retry_batches(spark, sf):
     return (ex.withColumn("batch_no",
                           F.floor(F.col("idx") / 5).cast("int"))
             .groupBy("url", "batch_no")
-            .agg(F.array_sort(F.collect_list("claim_id")).alias("claim_ids"),
+            # CSV string, not array: the driver's value-hash compare is
+            # only proven for scalar columns
+            .agg(F.array_join(F.array_sort(F.collect_list("claim_id")), ",")
+                  .alias("claim_ids"),
                  F.count("*").alias("batch_size"))
             .withColumn("max_retries", F.lit(2)))
 
@@ -1447,7 +1450,8 @@ def _retry_batches_sql() -> str:
               FROM m
             )
             SELECT url, CAST(idx // 5 AS INT) AS batch_no,
-                   list_sort(list(claim_id)) AS claim_ids,
+                   array_to_string(list_sort(list(claim_id)), ',')
+                       AS claim_ids,
                    count(*) AS batch_size, 2 AS max_retries
             FROM ex GROUP BY url, idx // 5"""
 
