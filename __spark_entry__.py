@@ -883,14 +883,20 @@ def q_chunk_plan(spark, sf):
         F.lit("no_chunking_needed").alias("strategy"))
 
     big = docs.where(F.col("n") > CHUNK_TARGET)
-    # candidate boundaries: 1-based positions p where text[p] is a space.
-    # (test-scale position scan; at corpus scale emit match offsets from
-    # the tokenizer instead of scanning every char)
-    pos = big.select(
-        "doc_id", "n",
-        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
-        F.substring("text", F.col("p"), 1).alias("ch"))
-    pos = pos.where(F.col("ch") == " ")
+    # candidate boundaries: 1-based positions of every space char,
+    # derived from the word stream (posexplode + running length sum) —
+    # one row per WORD, not per char; identical positions to a char scan
+    # (empty words from repeated/leading spaces advance the sum by 1, so
+    # every space is accounted for; the phantom boundary after the last
+    # word is filtered by idx)
+    words = F.split("text", " ")
+    ex = big.select("doc_id", "n", F.size(words).alias("nw"),
+                    F.posexplode(words).alias("i", "w"))
+    wcum = (Window.partitionBy("doc_id").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    pos = (ex.withColumn("p", F.sum(F.length("w") + 1).over(wcum))
+           .where(F.col("i") < F.col("nw") - 1)
+           .select("doc_id", "n", "p"))
     # bucket k = ceil(p / target); split for bucket k = last boundary at or
     # before k*target; buckets touching the doc tail produce no split
     pos = pos.withColumn(
@@ -1380,13 +1386,20 @@ def _chunk_plan_sql() -> str:
                      CAST(n AS INT) AS "end",
                      'no_chunking_needed' AS strategy
               FROM d WHERE n <= {t}
-            ), pos AS (
-              SELECT doc_id, n, text, unnest(range(1, n + 1)) AS p
+            ), ex AS (
+              SELECT doc_id, n, len(string_split(text, ' ')) AS nw,
+                     unnest(range(0, len(string_split(text, ' ')))) AS i,
+                     unnest(string_split(text, ' ')) AS w
               FROM d WHERE n > {t}
             ), bnd AS (
               SELECT doc_id, n, p,
                      CAST(ceil(p / {t}.0) AS INT) AS bucket
-              FROM pos WHERE substr(text, CAST(p AS INT), 1) = ' '
+              FROM (SELECT doc_id, n, nw, i,
+                           sum(length(w) + 1) OVER (PARTITION BY doc_id
+                               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS p
+                    FROM ex)
+              WHERE i < nw - 1
             ), splits AS (
               SELECT doc_id, n, bucket, max(p) AS split
               FROM bnd GROUP BY doc_id, n, bucket
