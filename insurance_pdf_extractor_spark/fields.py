@@ -77,6 +77,13 @@ REPORT_DATE_RE = re.compile(
 LINE_CLAIM_RE = re.compile(
     r"Claim(?:\s*Number|#)?\s*[:#]?\s*([A-Z]?\d[A-Z0-9\-]{3,})",
     re.IGNORECASE)
+# discovery-stage rules (reference backend/insurance_extractor.py:180-216)
+CONVERTED_RE = re.compile(
+    r"Converted\s*#\s*:?\s*([A-Z0-9][A-Z0-9\-]{2,})", re.IGNORECASE)
+HOMESTATES_RE = re.compile(r"\b(\d{8})\b")  # 8-digit integer claim ids
+POLICY_PREFIX_BLACKLIST = ("CRWC", "SWC", "TWC")  # policy ids, never claims
+INCIDENT_NAME_RE = re.compile(r"[A-Z][a-z]+,\s+[A-Z][a-z]+"
+                              r"|[A-Z][a-z]+\s+[A-Z][a-z]+")
 LINE_STATUS_RE = re.compile(
     r"\b(OPEN|CLOSED|REOPENED|REOP|OP|CL)\b", re.IGNORECASE)
 LINE_DATE_RE = re.compile(r"\b(\d{4}-\d{2}-\d{2}|\d{2}/\d{2}/\d{4})\b")
@@ -137,6 +144,79 @@ def split_into_chunks(text: str, boundaries: list[dict]) -> list[dict]:
 
 
 # --------------------------------------------------------------------------
+# §2.12 stage-1 format analysis (reference insurance_extractor.py:591-656)
+# --------------------------------------------------------------------------
+
+_SIMPLE_KEYWORDS = ["MED PAID", "MED RESV", "IND PAID", "IND RESV",
+                    "EXP PAID", "TOTAL INCURRED"]
+
+
+def analyze_format(text: str) -> str:
+    """simple_columns | complex_multi_row | unknown — the deterministic
+    twin of the reference's GPT format-analysis stage; the verdict picks
+    the parsing strategy in :func:`extract_claims` (the reference builds
+    format-conditional prompts, insurance_extractor.py:700-770)."""
+    up = text.upper()
+    hits = sum(1 for k in _SIMPLE_KEYWORDS if k in up)
+    if hits >= 2:
+        return "simple_columns"
+    if "PAYMENTS" in up and "RESERVES" in up:
+        return "complex_multi_row"
+    return "unknown"
+
+
+# --------------------------------------------------------------------------
+# claim-number discovery rules (reference insurance_extractor.py:180-216)
+# --------------------------------------------------------------------------
+
+def _is_blacklisted(token: str) -> bool:
+    """CRWC* / SWC* / TWC* ids are POLICY numbers, never claims
+    (Berkshire Homestates/Redwood blacklist)."""
+    up = token.upper()
+    return any(up.startswith(p) for p in POLICY_PREFIX_BLACKLIST)
+
+
+def discover_line_claim(line: str) -> tuple[str, str] | None:
+    """(claim_number, rule) for one text line, or None.
+
+    Rule precedence mirrors the reference's discovery instructions:
+    ``Converted #`` values are ALWAYS the claim number; then an explicit
+    ``Claim #`` label; then the Homestates format (a bare 8-digit integer
+    is a claim id ONLY when the line carries incident data — a name or a
+    date; 'strict validation' in the reference prompt). Policy-labeled
+    lines and blacklist-prefixed tokens never yield a claim."""
+    if re.search(r"(?i:Policy\s*(?:Number|#|No\.?)|Pol\s*#)", line):
+        return None
+    m = CONVERTED_RE.search(line)
+    if m and not _is_blacklisted(m.group(1)):
+        return m.group(1), "converted"
+    m = LINE_CLAIM_RE.search(line)
+    if m and re.search(r"\d", m.group(1)) and not _is_blacklisted(m.group(1)):
+        return m.group(1), "claim_label"
+    if INCIDENT_NAME_RE.search(line) or LINE_DATE_RE.search(line):
+        m = HOMESTATES_RE.search(line)
+        if m:
+            return m.group(1), "homestates_8digit"
+    return None
+
+
+def repeated_policy_numbers(claims: list[dict]) -> set[str]:
+    """The reference's GOLDEN RULE: a number appearing as the id of
+    MULTIPLE different employees (or on every page as a header) is a
+    POLICY number, not a claim number. Applied to line-grain discovery
+    output only — table rows are structurally one-claim-per-row."""
+    names_per_id: dict[str, set[str]] = {}
+    for c in claims:
+        cid = c.get("claim_number")
+        if not cid:
+            continue
+        name = (c.get("employee_name") or "").strip().lower()
+        names_per_id.setdefault(cid, set()).add(name)
+    return {cid for cid, names in names_per_id.items()
+            if len({n for n in names if n}) > 1}
+
+
+# --------------------------------------------------------------------------
 # claims spotting
 # --------------------------------------------------------------------------
 
@@ -182,29 +262,128 @@ def claims_from_tables(text: str) -> list[dict]:
 
 
 def claims_from_lines(text: str) -> list[dict]:
-    """Fallback spotter for OCR / pre-extracted plain text."""
+    """Fallback spotter for OCR / pre-extracted plain text, applying the
+    discovery exclusion rules (Converted # capture, Homestates 8-digit,
+    CRWC/SWC/TWC blacklist, policy-label exclusion) plus the
+    repeated-number ⇒ policy heuristic across the whole text."""
     claims = []
     for line in text.split("\n"):
-        m = LINE_CLAIM_RE.search(line)
-        if not m:
+        found = discover_line_claim(line)
+        if not found:
             continue
-        token = m.group(1)
-        if not re.search(r"\d", token):
-            continue
+        token, rule = found
         claim = {f: None for f in CLAIM_FIELDS}
         claim["claim_number"] = token
         claim["extraction_source"] = "line"
-        ms = LINE_STATUS_RE.search(line[m.end():])
+        rest = line[line.find(token) + len(token):]
+        ms = LINE_STATUS_RE.search(rest)
         if ms:
             claim["status"] = ms.group(1)
         md = LINE_DATE_RE.search(line)
         if md:
             claim["injury_date_time"] = md.group(1)
+        mn = INCIDENT_NAME_RE.search(line.replace(token, " "))
+        if mn:
+            claim["employee_name"] = mn.group(0)
+        claims.append(claim)
+    dropped = repeated_policy_numbers(claims)
+    return [c for c in claims if c["claim_number"] not in dropped]
+
+
+MULTIROW_CLAIM_RE = re.compile(
+    r"Claim\s*Number\s*:\s*([A-Z0-9\-]+)\s+Claimant\s*:\s*(.+?)\s+"
+    r"Status\s*:\s*(\S+)\s+DOI\s*:\s*([0-9/\-]{8,10})")
+# grid header label → canonical column key (Expense/LAE are synonyms,
+# reference: 'AMTRUST COLUMN ORDER: 1. MEDICAL, 2. INDEMNITY, 3.
+# EXPENSE / LAE')
+MULTIROW_HEADER_LABELS = {"medical": "medical", "td": "td", "pd": "pd",
+                          "expense": "expense", "lae": "expense",
+                          "expense / lae": "expense"}
+
+
+def claims_from_multirow(text: str) -> list[dict]:
+    """AmTrust-style ``complex_multi_row`` layout (reference
+    insurance_extractor.py:716-725): each claim is a header line plus a
+    Payments/Reserves grid under columns Medical / TD / PD / Expense.
+
+    Mapping (the reference's mandatory calibration):
+      medical_paid   = Payments.Medical    medical_reserve = Reserves.Medical
+      indemnity_paid = Payments.TD + Payments.PD            (TD+PD summing)
+      indemnity_res  = Reserves.TD + Reserves.PD
+      expense_paid   = Payments.Expense    expense_reserve = Reserves.Expense
+      total_incurred = sum of all six (Paid + Reserve = Incurred checksum)
+    """
+    heads = list(MULTIROW_CLAIM_RE.finditer(text))
+    if not heads:
+        return []
+    grids: list[tuple[int, list[list[str]]]] = []
+    for tm in TABLE_BLOCK_RE.finditer(text):
+        rows = parse_ascii_table(tm.group(1))
+        if len(rows) >= 3:
+            labels = {r[0].strip().lower() for r in rows[1:]}
+            if {"payments", "reserves"} <= labels:
+                grids.append((tm.start(), rows))
+    claims = []
+    for k, m in enumerate(heads):
+        nxt = heads[k + 1].start() if k + 1 < len(heads) else len(text)
+        grid = next((rows for s, rows in grids if m.start() < s < nxt),
+                    None)
+        if grid is None:
+            continue
+        col: dict[str, int] = {}
+        for i, cell in enumerate(grid[0]):
+            key = MULTIROW_HEADER_LABELS.get(cell.strip().lower())
+            if key is not None and key not in col:
+                col[key] = i
+        if "medical" not in col:
+            continue
+        rows_by_label = {r[0].strip().lower(): r for r in grid[1:]}
+        pay = rows_by_label.get("payments")
+        res = rows_by_label.get("reserves")
+        if pay is None or res is None:
+            continue
+
+        def num(row: list[str], key: str) -> float:
+            i = col.get(key)
+            if i is None or i >= len(row):
+                return 0.0
+            s = re.sub(r"[^0-9.\-]", "", row[i])
+            try:
+                return float(s) if s else 0.0
+            except ValueError:
+                return 0.0
+
+        mp, mr = num(pay, "medical"), num(res, "medical")
+        ip = num(pay, "td") + num(pay, "pd")
+        ir = num(res, "td") + num(res, "pd")
+        ep, er = num(pay, "expense"), num(res, "expense")
+        claim = {f: None for f in CLAIM_FIELDS}
+        claim.update({
+            "claim_number": m.group(1),
+            "employee_name": m.group(2).strip(),
+            "status": m.group(3),
+            "injury_date_time": m.group(4),
+            "medical_paid": f"{mp:.2f}", "medical_reserve": f"{mr:.2f}",
+            "indemnity_paid": f"{ip:.2f}", "indemnity_reserve": f"{ir:.2f}",
+            "expense_paid": f"{ep:.2f}", "expense_reserve": f"{er:.2f}",
+            "total_incurred": f"{mp + mr + ip + ir + ep + er:.2f}",
+            "extraction_source": "multirow"})
         claims.append(claim)
     return claims
 
 
 def extract_claims(chunk_text: str) -> list[dict]:
+    """Format-conditional strategy selection: the §2.12 format-analysis
+    verdict picks the parser, mirroring the reference's
+    format-conditional extraction prompts (insurance_extractor.py:
+    700-770). simple_columns == labeled-header table rows (the positional
+    mapping IS the alias table); complex_multi_row == the AmTrust
+    Payments/Reserves grid; unknown falls through table → line spotting."""
+    fmt = analyze_format(chunk_text)
+    if fmt == "complex_multi_row":
+        claims = claims_from_multirow(chunk_text)
+        if claims:
+            return claims
     claims = claims_from_tables(chunk_text)
     if not claims:
         claims = claims_from_lines(chunk_text)
@@ -235,6 +414,11 @@ def extract_document_fields(text: str) -> dict:
             claims.append(c)
         if ch["policy_number"] not in ("Unknown", "Initial Section"):
             policies.add(ch["policy_number"])
+    # discovery STRICT EXCLUSIONS, document-wide: blacklist-prefixed ids
+    # and ids equal to a detected policy number are never claims
+    claims = [c for c in claims
+              if not _is_blacklisted(c["claim_number"] or "")
+              and c["claim_number"] not in policies]
     m = INSURED_RE.search(text)
     insured = m.group(1).strip() if m else None
     if m:

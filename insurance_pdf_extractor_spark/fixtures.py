@@ -301,6 +301,60 @@ def make_watermark_pdf(rng: random.Random) -> bytes:
     return w.tobytes()
 
 
+def make_amtrust_pdf(rng: random.Random) -> bytes:
+    """AmTrust-style ``complex_multi_row`` layout (reference
+    insurance_extractor.py:716-725): each claim is a header line plus a
+    Payments/Reserves grid under Medical/TD/PD/Expense columns. The
+    parser must SUM TD+PD into indemnity — exercises the
+    format-conditional strategy in fields.extract_claims."""
+    w = PDFWriter()
+    pg = w.add_page(width=1008, height=792)
+    policy = f"AMT-{rng.randint(2019, 2024)}-{rng.randint(100, 999)}"
+    y = _preamble(pg, rng, policy, rng.choice(COMPANIES))
+    for _ in range(rng.randint(1, 3)):
+        num = str(rng.randint(3600000, 3699999))
+        name = f"{rng.choice(FIRST_NAMES)} {rng.choice(LAST_NAMES)}"
+        status = rng.choice(["O", "C", "R"])
+        doi = _date(rng)
+        pg.text(40, y, f"Claim Number: {num}  Claimant: {name}  "
+                       f"Status: {status}  DOI: {doi}", size=9)
+        y += 18
+        vals = [round(rng.uniform(0, 9000), 2) for _ in range(8)]
+        rows = [["", "Medical", "TD", "PD", "Expense"],
+                ["Payments", f"{vals[0]:,.2f}", f"{vals[1]:,.2f}",
+                 f"{vals[2]:,.2f}", f"{vals[3]:,.2f}"],
+                ["Reserves", f"{vals[4]:,.2f}", f"{vals[5]:,.2f}",
+                 f"{vals[6]:,.2f}", f"{vals[7]:,.2f}"]]
+        y = pg.table(40, y, rows, [80, 90, 90, 90, 90],
+                     row_height=15.0, size=8.0) + 16
+    return w.tobytes()
+
+
+def make_homestates_pdf(rng: random.Random) -> bytes:
+    """Berkshire Homestates-style scanned loss run: a ``CRWC`` policy id
+    repeated on every page (blacklist + repeated-number rules), claim
+    ids as ``Converted #`` captures or bare 8-digit integers paired with
+    incident data — exercises every discovery exclusion rule
+    (reference insurance_extractor.py:180-216)."""
+    w = PDFWriter()
+    policy = f"CRWC{rng.randint(1000000, 9999999)}"
+    for p in range(rng.randint(1, 2)):
+        lines = [f"Homestates loss run page {p + 1}",
+                 f"Policy Number: {policy}"]
+        for _ in range(rng.randint(2, 4)):
+            first, last = rng.choice(FIRST_NAMES), rng.choice(LAST_NAMES)
+            doi = _date(rng)
+            num8 = rng.randint(10000000, 99999999)
+            if rng.random() < 0.4:
+                lines.append(f"Converted # {num8}  {last}, {first}  {doi}")
+            else:
+                lines.append(f"{num8}  {last}, {first}  {doi}")
+        lines.append(f"Reference {policy} continued")
+        pg = w.add_page(ocr_text="\n".join(lines))
+        pg.image_placeholder()
+    return w.tobytes()
+
+
 NAV_LINKS = ["Home", "About", "Products", "Pricing", "Careers", "Contact",
              "Blog", "Support", "Login", "Sign up"]
 ARTICLE_SENTENCES = [
@@ -363,6 +417,8 @@ _MAKERS = {
     "garbage_pdf": make_garbage_pdf,
     "blank_pdf": make_blank_pdf,
     "recovery_pdf": make_recovery_pdf,
+    "amtrust_pdf": make_amtrust_pdf,
+    "homestates_pdf": make_homestates_pdf,
 }
 
 
@@ -374,6 +430,13 @@ def generate_rows(n_docs: int, seed: int = 42) -> list[dict]:
     for i in range(n_docs):
         rng = random.Random((seed << 20) ^ i)
         doc_class = classes[rng.randrange(len(classes))]
+        # round-3 classes ride on fixed doc-id slices (override AFTER the
+        # weighted draw) so every other document — and its frozen golden —
+        # stays byte-identical across rounds
+        if i % 40 == 7:
+            doc_class = "amtrust_pdf"
+        elif i % 40 == 23:
+            doc_class = "homestates_pdf"
         url = f"https://fixture.test/{doc_class}/{i}"
         ts = EPOCH + dt.timedelta(seconds=i * 37)
         lang = rng.choices(["en", "es", "de"], weights=[90, 6, 4])[0]

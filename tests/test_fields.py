@@ -119,3 +119,103 @@ def test_policy_value_requires_digit_and_case():
     sp = [s for s in res2["field_spans"] if s["field"] == "policy_number"][0]
     text = "Policy Number\nSWC1364773\nbody"
     assert text[sp["start"]:sp["end"]] == "SWC1364773"
+
+
+class TestClaimDiscoveryRules:
+    """Discovery exclusion rules (reference insurance_extractor.py:180-216)."""
+
+    def test_crwc_blacklist_never_a_claim(self):
+        res = FX.extract_document_fields(
+            "Policy Number: CRWC1234567\n"
+            "Claim # CRWC1234567 Smith, John 2021-01-01")
+        assert all(not (c["claim_number"] or "").startswith("CRWC")
+                   for c in res["claims"])
+
+    def test_converted_number_is_the_claim(self):
+        got = FX.discover_line_claim(
+            "Converted # 44070643  Chen, Wei  2021-03-04")
+        assert got == ("44070643", "converted")
+
+    def test_homestates_8digit_needs_incident_context(self):
+        assert FX.discover_line_claim(
+            "44070643  Chen, Wei  2021-03-04") == ("44070643",
+                                                   "homestates_8digit")
+        # bare number with no name/date: strict validation drops it
+        assert FX.discover_line_claim("ref 44070643 archived") is None
+
+    def test_policy_labeled_line_excluded(self):
+        assert FX.discover_line_claim(
+            "Policy Number: 44070643 Chen, Wei 2021-01-01") is None
+
+    def test_swc_twc_blacklist(self):
+        assert FX.discover_line_claim(
+            "Claim # SWC1234567 Kim, Grace 2020-01-01") is None
+        text = ("Converted # TWC9988776 Kim, Grace 2020-01-01\n"
+                "Converted # 55066077 Kim, Grace 2020-01-01")
+        nums = [c["claim_number"]
+                for c in FX.extract_document_fields(text)["claims"]]
+        assert nums == ["55066077"]
+
+    def test_repeated_number_is_policy(self):
+        # same id for two DIFFERENT employees => policy number, dropped
+        text = ("Claim # 12345678 Garcia, Carlos 2020-05-05\n"
+                "Claim # 12345678 Tanaka, Hiro 2020-06-06\n"
+                "Claim # 87654321 Silva, Ana 2020-07-07")
+        nums = [c["claim_number"]
+                for c in FX.extract_document_fields(text)["claims"]]
+        assert nums == ["87654321"]
+        # same id for the SAME employee (dup rows) is kept (G5 dedups later)
+        text2 = ("Claim # 12345678 Garcia, Carlos 2020-05-05\n"
+                 "Claim # 12345678 Garcia, Carlos 2020-05-05")
+        nums2 = [c["claim_number"]
+                 for c in FX.extract_document_fields(text2)["claims"]]
+        assert nums2 == ["12345678", "12345678"]
+
+    def test_claim_equal_to_detected_policy_dropped(self):
+        text = ("Policy Number: 44556677\n"
+                "Claim # 44556677 Chen, Wei 2021-01-01\n"
+                "Claim # 99887766 Kim, Bo 2021-02-02")
+        nums = [c["claim_number"]
+                for c in FX.extract_document_fields(text)["claims"]]
+        assert nums == ["99887766"]
+
+
+class TestFormatConditionalParsing:
+    def test_analyze_format_taxonomy(self):
+        assert FX.analyze_format(
+            "Claim# | Med Paid | Ind Paid | Total") == "simple_columns"
+        assert FX.analyze_format(
+            "Payments 1 2 3\nReserves 4 5 6") == "complex_multi_row"
+        assert FX.analyze_format("Dear customer ...") == "unknown"
+
+    def test_multirow_td_pd_summing(self):
+        text = (
+            "Claim Number: 3631112  Claimant: Duarte Milian  "
+            "Status: O  DOI: 2021-03-04\n"
+            "[TABLE 1]\n" + "-" * 80 + "\n"
+            "         | Medical | TD     | PD     | Expense\n"
+            "---------+---------+--------+--------+--------\n"
+            "Payments | 966.00  | 500.00 | 926.00 | 173.00\n"
+            "Reserves | 6862.00 | 400.00 | 100.00 | 0.00\n"
+            + "-" * 80 + "\n")
+        claims = FX.claims_from_multirow(text)
+        assert len(claims) == 1
+        c = claims[0]
+        assert c["claim_number"] == "3631112"
+        assert c["indemnity_paid"] == "1426.00"      # 500 + 926 (TD+PD)
+        assert c["indemnity_reserve"] == "500.00"    # 400 + 100
+        assert c["medical_reserve"] == "6862.00"
+        assert c["total_incurred"] == "9927.00"
+        assert c["extraction_source"] == "multirow"
+
+    def test_extract_claims_selects_strategy(self):
+        multirow = (
+            "Claim Number: 111222  Claimant: Bo Chen  Status: C  "
+            "DOI: 2020-01-01\n"
+            "[TABLE 1]\n" + "-" * 80 + "\n"
+            "         | Medical | TD    | PD    | Expense\n"
+            "Payments | 1.00    | 2.00  | 3.00  | 4.00\n"
+            "Reserves | 5.00    | 6.00  | 7.00  | 8.00\n"
+            + "-" * 80 + "\n")
+        out = FX.extract_claims(multirow)
+        assert out and out[0]["extraction_source"] == "multirow"
