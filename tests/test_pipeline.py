@@ -259,3 +259,48 @@ class TestPlanShape:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
         assert "html" not in out.columns
+
+
+class TestDocsWrittenLedger:
+    def test_ledger_replaces_table_count(self, spark, web_pages, tmp_path):
+        """committed_before comes from the run ledger (max docs_total_after),
+        not a listing/count of the committed docs table; non-resume runs
+        against an existing dir report the true cumulative (ADVICE r2)."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = str(tmp_path / "out")
+        n = web_pages.count()
+        half = web_pages.limit(30)
+
+        r1 = run_pipeline(spark, half, output_dir=out, run_id="l1")
+        assert r1.docs_written == 30
+        ledger = spark.read.parquet(os.path.join(out, "ledger"))
+        assert ledger.count() == 1
+        assert ledger.first()["docs_total_after"] == 30
+
+        r2 = run_pipeline(spark, web_pages, output_dir=out, run_id="l2")
+        assert r2.docs_written == n and r2.docs_delta == n - 30
+        ledger = spark.read.parquet(os.path.join(out, "ledger"))
+        assert ledger.agg(F.max("docs_total_after")).first()[0] == n
+
+        # resume re-run: delta 0, cumulative stays n
+        r3 = run_pipeline(spark, web_pages, output_dir=out, run_id="l3")
+        assert r3.docs_written == n and r3.docs_delta == 0
+
+        # non-resume run on the existing dir: cumulative counts the
+        # pre-existing rows plus this run's (duplicate) delta
+        r4 = run_pipeline(spark, half, output_dir=out, run_id="l4",
+                          resume=False)
+        assert r4.docs_written == n + 30 and r4.docs_delta == 30
+
+    def test_wiped_docs_table_invalidates_ledger(self, spark, web_pages,
+                                                 tmp_path):
+        import shutil
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = str(tmp_path / "out")
+        run_pipeline(spark, web_pages.limit(20), output_dir=out,
+                     run_id="w1")
+        shutil.rmtree(os.path.join(out, "docs"))
+        res = run_pipeline(spark, web_pages.limit(20), output_dir=out,
+                           run_id="w2")
+        # docs table was reset out-of-band: committed_before must be 0
+        assert res.docs_written == 20 and res.docs_delta == 20

@@ -76,7 +76,8 @@ class TestCodegen:
     def test_scalar_queries_have_no_python(self, spark):
         import __spark_entry__ as E
         qs = E.queries()
-        for name in ("pricing_summary", "currency_clean", "token_counts",
+        for name in ("pricing_summary", "field_normalize", "doc_stats",
+                     "claim_discovery", "text_line_ops",
                      "ann_bruteforce", "best_record_per_group"):
             plan = _plan(qs[name](spark, SF))
             assert "EvalPython" not in plan, f"python udf leaked into {name}"

@@ -120,3 +120,35 @@ class TestSessionizeStream:
             (2, hours(0.00), hours(0.60), 3),   # closed by the 9.0 h event
         }
         assert got == expected  # trailing open sessions never emitted
+
+
+class TestSessionizeLateData:
+    def test_late_event_across_batches_is_dropped(self, spark, tmp_path):
+        """An event arriving in a LATER file with an EARLIER timestamp
+        than the session's last_ts must not regress state (which would
+        let the next on-time event falsely close the session). Policy:
+        late events are dropped (ADVICE r2)."""
+        from insurance_pdf_extractor_spark.streaming import (
+            sessionize_stream)
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        os.makedirs(landing)
+        # f1: events at 1.00 h and 1.10 h; f2: LATE event at 0.20 h (must
+        # be dropped, NOT open/close a phantom gap), then 1.20 h on-time,
+        # then 4.00 h closes the session
+        _write_events(spark, f"{landing}/f1.parquet",
+                      [(1, 1, 1.00, "a"), (1, 2, 1.10, "a")],
+                      mtime=1700000000)
+        _write_events(spark, f"{landing}/f2.parquet",
+                      [(1, 3, 0.20, "a"), (1, 4, 1.20, "a"),
+                       (1, 5, 4.00, "a")],
+                      mtime=1700000001)
+        sessionize_stream(spark, landing, out, gap_s=1800)
+        got = {(r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"])
+               for r in spark.read.parquet(f"{out}/sessions").collect()}
+
+        def hours(h):
+            return int((T0 + timedelta(hours=h)).timestamp())
+        # ONE closed session 1.00-1.20 h with 3 events (late 0.20 dropped)
+        assert got == {(1, hours(1.00), hours(1.20), 3)}

@@ -19,6 +19,16 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _git_head() -> str:
+    try:
+        out = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             cwd=ROOT, capture_output=True, text=True,
+                             timeout=10, check=False)
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _prewarm(n_docs: int) -> None:
     """Pull the corpus into the page cache so neither level pays disk."""
     path = os.path.join("/tmp/spark_graft_bench",
@@ -135,7 +145,11 @@ def main() -> None:
               "loadavg_at_low": la1,
               "loadavg_at_high": la2,
               "quiet": max(la0, la1, la2) < QUIET,
-              "passes_0_8": efficiency / hw_ceiling >= 0.8}
+              "passes_0_8": efficiency / hw_ceiling >= 0.8,
+              # staleness stamps (ADVICE r2: a kept-best result must be
+              # traceable to the code it measured and re-measurable)
+              "commit": _git_head(),
+              "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z")}
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     # every attempt is archived; scaling.json holds the best QUIET-window
     # attempt (noise can inflate the ratio in either direction, so only
@@ -152,7 +166,12 @@ def main() -> None:
         p_q, r_q = prev.get("quiet", False), result["quiet"]
         p_eff = prev.get("scaling_efficiency_hw_normalized", 0)
         r_eff = result["scaling_efficiency_hw_normalized"]
-        if (p_q, p_eff) > (r_q, r_eff):
+        # keep-best is scoped to the CURRENT commit (ADVICE r2: a
+        # historical best must not shield a real regression forever) —
+        # a result measured on different code never survives a quiet
+        # attempt on the code under test
+        same_code = prev.get("commit") == result["commit"]
+        if same_code and (p_q, p_eff) > (r_q, r_eff):
             keep = prev
     with open(best_path, "w") as f:
         json.dump(keep, f, indent=1)
