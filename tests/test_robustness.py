@@ -138,3 +138,78 @@ class TestPurePropertyRound2:
         expect = [[(str(c).strip() if c else "") for c in row]
                   for row in table]
         assert grid == expect
+
+
+class TestParserStructuredCorruption:
+    """Targeted structural corruptions (r2 verdict item 8): wrong stream
+    lengths, corrupted xref offsets, missing trailer/startxref — the
+    parser must degrade to partial/empty text, never raise."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def test_bad_stream_lengths_never_raise(self, seed):
+        import re as _re
+        rng = random.Random(seed)
+        data = make_loss_run_pdf(rng)
+        wrong = str(rng.randrange(0, 99999)).encode()
+        mutated = _re.sub(rb"/Length \d+", b"/Length " + wrong, data)
+        res = extract_pdf_document(mutated)
+        assert isinstance(res["text"], str)
+        assert isinstance(res["pages"], list)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def test_corrupt_xref_offsets_never_raise(self, seed):
+        rng = random.Random(seed)
+        data = bytearray(make_loss_run_pdf(rng))
+        i = bytes(data).find(b"xref")
+        if i != -1:
+            for k in range(i, min(i + 300, len(data))):
+                if 48 <= data[k] <= 57 and rng.random() < 0.4:
+                    data[k] = 48 + rng.randrange(10)
+        res = extract_pdf_document(bytes(data))
+        assert isinstance(res["text"], str)
+
+    def test_missing_trailer_and_startxref(self):
+        rng = random.Random(7)
+        data = make_loss_run_pdf(rng)
+        for marker in (b"trailer", b"startxref", b"xref"):
+            i = data.find(marker)
+            assert i > 0
+            res = extract_pdf_document(data[:i])
+            assert isinstance(res["text"], str)
+
+
+class TestDiscoveryProperties:
+    """The round-3 discovery rules and multirow parser are per-doc Python
+    inside mapInPandas — total functions over arbitrary text."""
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_discover_line_claim_total_and_blacklist_safe(self, line):
+        from insurance_pdf_extractor_spark import fields
+        got = fields.discover_line_claim(line)
+        if got is not None:
+            token, rule = got
+            assert token
+            assert not token.upper().startswith(("CRWC", "SWC", "TWC"))
+            assert rule in ("converted", "claim_label",
+                            "homestates_8digit")
+
+    @given(st.text(max_size=2000))
+    @settings(max_examples=100, deadline=None)
+    def test_extract_document_fields_total(self, text):
+        from insurance_pdf_extractor_spark import fields
+        res = fields.extract_document_fields(text)
+        for c in res["claims"]:
+            assert c["claim_number"]
+            assert not str(c["claim_number"]).upper().startswith(
+                ("CRWC", "SWC", "TWC"))
+
+    @given(st.text(max_size=1500))
+    @settings(max_examples=100, deadline=None)
+    def test_multirow_parser_never_raises(self, text):
+        from insurance_pdf_extractor_spark import fields
+        assert isinstance(fields.claims_from_multirow(text), list)
+        assert fields.analyze_format(text) in (
+            "simple_columns", "complex_multi_row", "unknown")
