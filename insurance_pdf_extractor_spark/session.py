@@ -24,7 +24,8 @@ ARROW_BATCH_ROWS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))
 
 def get_spark(app_name: str = "insurance_pdf_extractor_spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra: dict[str, str] | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
@@ -53,4 +54,6 @@ def get_spark(app_name: str = "insurance_pdf_extractor_spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

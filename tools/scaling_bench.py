@@ -39,17 +39,17 @@ def _prewarm(n_docs: int) -> None:
                 pass
 
 
-def run_level(cores: int, n_docs: int) -> dict:
+def run_level(spec: str, cores: int, n_docs: int) -> dict:
     """Run one parallelism level PINNED to `cores` CPUs via taskset.
 
-    local[N] with Python UDFs otherwise consumes ~2N cores (N JVM task
-    threads + N Python workers), which would inflate the low-parallelism
-    baseline and understate scaling. Pinning models an N-core cluster vs
-    a 4N-core cluster on the same box.
-    """
+    Pinning: local modes with Python UDFs otherwise consume ~2N cores
+    (N JVM task threads + N Python workers), which would inflate the
+    low-parallelism baseline and understate scaling. `spec` "KxC" runs
+    local-cluster[K,C] — K REAL executor JVMs (the north_rule's unit);
+    plain "N" runs single-JVM local[N] (legacy thread mode)."""
     _prewarm(n_docs)
     cmd = [sys.executable, os.path.join(ROOT, "tools", "scaling_worker.py"),
-           str(cores), str(n_docs)]
+           spec, str(n_docs)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     # identical fine-grained splits at BOTH levels: the scan itself
@@ -120,6 +120,14 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # executor mode (default): N vs 4N REAL executor JVMs of `low` cores
+    # each via local-cluster — the unit the north_rule scales. Thread
+    # mode (SCALING_MODE=thread) keeps the legacy single-JVM local[N].
+    mode = os.environ.get("SCALING_MODE", "executors")
+    if mode == "executors":
+        spec_low, spec_high = f"1x{low}", f"{high // low}x{low}"
+    else:
+        spec_low, spec_high = str(low), str(high)
 
     la0 = wait_quiet()
     cal_low = calibrate(low)
@@ -127,12 +135,14 @@ def main() -> None:
     hw_ceiling = cal_high / cal_low  # ≤1: per-core slowdown at high level
 
     la1 = wait_quiet()
-    r_low = run_level(low, n_docs)
+    r_low = run_level(spec_low, low, n_docs)
     la2 = wait_quiet()
-    r_high = run_level(high, n_docs)
+    r_high = run_level(spec_high, high, n_docs)
     speedup = r_low["sec"] / r_high["sec"]
     efficiency = speedup / (high / low)
-    result = {"n_docs": n_docs, "low": r_low, "high": r_high,
+    result = {"n_docs": n_docs, "mode": mode,
+              "spec_low": spec_low, "spec_high": spec_high,
+              "low": r_low, "high": r_high,
               "speedup": round(speedup, 3),
               "ideal_speedup": high / low,
               "scaling_efficiency": round(efficiency, 3),

@@ -1,8 +1,16 @@
-"""Run the extraction pipeline at a given local[N] and print one JSON line.
+"""Run the extraction pipeline at a given parallelism and print one JSON
+line.
 
 Invoked by tools/scaling_bench.py in a fresh subprocess per parallelism
 level (a SparkSession's master can't change in-process).
-Usage: python tools/scaling_worker.py <cores> <n_docs>
+
+Usage: python tools/scaling_worker.py <spec> <n_docs>
+  spec = "8"    → local[8]            (thread mode: one shared JVM)
+  spec = "4x8"  → local-cluster[4,8]  (executor mode: 4 SEPARATE
+                  executor JVMs × 8 cores — the shape the north_rule
+                  names: N vs 4N *executors*. Thread mode makes all 4N
+                  task slots share one JVM's GC/locks, a local-mode
+                  artifact no real cluster has.)
 """
 
 from __future__ import annotations
@@ -12,7 +20,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, ROOT)
 
 from bench import ensure_fixture_corpus  # noqa: E402
 from insurance_pdf_extractor_spark.pipeline import run_pipeline  # noqa: E402
@@ -20,13 +29,28 @@ from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    cores = int(sys.argv[1])
+    spec = sys.argv[1]
     n_docs = int(sys.argv[2])
     path = ensure_fixture_corpus(n_docs)
 
-    spark = get_spark(app_name=f"scaling-{cores}",
-                      master=f"local[{cores}]",
-                      shuffle_partitions=cores)
+    if "x" in spec:
+        n_exec, per_exec = (int(v) for v in spec.split("x"))
+        cores = n_exec * per_exec
+        import pyspark
+        os.environ.setdefault("SPARK_HOME",
+                              os.path.dirname(pyspark.__file__))
+        spark = get_spark(
+            app_name=f"scaling-{spec}",
+            master=f"local-cluster[{n_exec},{per_exec},8192]",
+            shuffle_partitions=cores,
+            extra={"spark.executor.memory": "8g",
+                   # executor python workers must import the engine
+                   "spark.executorEnv.PYTHONPATH": os.path.abspath(ROOT)})
+    else:
+        cores = int(spec)
+        spark = get_spark(app_name=f"scaling-{cores}",
+                          master=f"local[{cores}]",
+                          shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     web = spark.read.parquet(path)
 
