@@ -64,15 +64,20 @@ def main() -> None:
 
     (spark.range(0, cores * 64, numPartitions=cores * 4)
           .mapInPandas(_import_engine, schema="id long").count())
-    run_pipeline(spark, web.limit(cores * 8), output_dir=None,
-                 resume=False).docs.count()
+    # FULL-SIZE uncounted warmup run: executor JVMs JIT the parquet/
+    # shuffle/Arrow hot paths only under real load — a limit() warmup
+    # left the first executor-mode timed run 2-4x cold (measured
+    # 107.9 s vs 20.2 s steady at 4x8)
+    run_pipeline(spark, web, output_dir=None, resume=False,
+                 num_partitions=cores * 2, repartition="always",
+                 cache_intermediate=False).claims.count()
 
-    # two timed runs; report the steady-state (best) one — at the target
-    # scale the job runs for hours, so amortized-startup throughput is the
-    # honest number. The cold run is reported alongside.
+    # three timed runs; report the steady-state (best) one — at the
+    # target scale the job runs for hours, so amortized-startup
+    # throughput is the honest number. All runs are reported alongside.
     times = []
     n = 0
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()  # identical plans must not reuse cache
         t0 = time.monotonic()
         # cache off + claims action = exactly ONE execution of the UDF
