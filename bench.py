@@ -117,6 +117,11 @@ def main() -> None:
             extract_sec += best
 
     total = round(sum(timings.values()), 3)
+    try:
+        with open("/proc/loadavg") as f:
+            loadavg = float(f.read().split()[0])
+    except OSError:
+        loadavg = None
     out = {
         "metric": "total_bench_sec",
         "value": total,
@@ -127,6 +132,10 @@ def main() -> None:
         "extract_docs_per_sec": round(extract_docs / extract_sec, 2)
         if extract_sec else None,
         "cpus": int(cpus),
+        # host 1-min loadavg at completion: this shared box swings
+        # shuffle-heavy numbers ±30% with neighbor load — the artifact
+        # should carry its own window quality
+        "loadavg": loadavg,
     }
     print(json.dumps(out))
     spark.stop()

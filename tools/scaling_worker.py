@@ -72,13 +72,33 @@ def main() -> None:
                  num_partitions=cores * 2, repartition="always",
                  cache_intermediate=False).claims.count()
 
-    # three timed runs; report the steady-state (best) one — at the
-    # target scale the job runs for hours, so amortized-startup
-    # throughput is the honest number. All runs are reported alongside.
+    # four timed runs, min reported — at the target scale the job runs
+    # for hours, so amortized-startup throughput is the honest number;
+    # the min also skips runs a mid-window neighbor spike contaminated
+    # (this box's loadavg jumps >10 with nothing running in the
+    # container). Per-run loadavg samples ship in the artifact so
+    # contaminated runs are visible.
+    def _probe_loops(sec: float = 0.5) -> float:
+        """Single-core busy-loop rate (loops/s, same units as the
+        bench's calibration): neighbor pressure on the shared host shows
+        as a depressed probe even when loadavg (which our own runs
+        dominate) says nothing."""
+        t0 = time.monotonic()
+        n_loops = 0
+        while time.monotonic() - t0 < sec:
+            sum(i * i for i in range(1000))
+            n_loops += 1
+        return n_loops / sec
+
     times = []
+    loads = []
+    probes = []
     n = 0
-    for _ in range(3):
+    for _ in range(4):
         spark.catalog.clearCache()  # identical plans must not reuse cache
+        probes.append(round(_probe_loops(), 1))
+        with open("/proc/loadavg") as f:
+            la_pre = float(f.read().split()[0])
         t0 = time.monotonic()
         # cache off + claims action = exactly ONE execution of the UDF
         # stage per timed run (docs.count() would branch the plan twice;
@@ -89,10 +109,15 @@ def main() -> None:
                            cache_intermediate=False)
         n = res.claims.count() and web.count()
         times.append(time.monotonic() - t0)
+        with open("/proc/loadavg") as f:
+            la_post = float(f.read().split()[0])
+        loads.append([la_pre, la_post])
     dt = min(times)
     print(json.dumps({"cores": cores, "docs": n, "sec": round(dt, 3),
                       "docs_per_sec": round(n / dt, 2),
-                      "all_runs_sec": [round(t, 3) for t in times]}))
+                      "all_runs_sec": [round(t, 3) for t in times],
+                      "loadavg_per_run": loads,
+                      "probe_loops_per_run": probes}))
     spark.stop()
 
 
