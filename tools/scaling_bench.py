@@ -130,14 +130,33 @@ def main() -> None:
         spec_low, spec_high = str(low), str(high)
 
     la0 = wait_quiet()
-    cal_low = calibrate(low)
-    cal_high = calibrate(high)
-    hw_ceiling = cal_high / cal_low  # ≤1: per-core slowdown at high level
 
+    # INTERLEAVED passes (cal_L, L, cal_H, H) × 2: running all low runs
+    # then all high runs lets a window shift between the phases bias the
+    # ratio in either direction; alternating makes both levels sample
+    # the same noise process, and min-per-level then compares clean
+    # runs. The hardware calibration is sampled ADJACENT to each level
+    # run (its own attempt-to-attempt variance is ±20% on this host —
+    # a single attempt-start sample normalizes the wrong window).
+    os.environ.setdefault("SCALING_RUNS", "2")
     la1 = wait_quiet()
-    r_low = run_level(spec_low, low, n_docs)
-    la2 = wait_quiet()
-    r_high = run_level(spec_high, high, n_docs)
+    passes = []
+    cals = []
+    for _ in range(2):
+        c_l = calibrate(low)
+        r_l = run_level(spec_low, low, n_docs)
+        c_h = calibrate(high)
+        r_h = run_level(spec_high, high, n_docs)
+        passes.append((r_l, r_h))
+        cals.append((c_l, c_h))
+    la2 = wait_quiet(max_wait=0)
+    r_low = min((p[0] for p in passes), key=lambda r: r["sec"])
+    r_high = min((p[1] for p in passes), key=lambda r: r["sec"])
+    r_low = dict(r_low, all_passes_sec=[p[0]["sec"] for p in passes])
+    r_high = dict(r_high, all_passes_sec=[p[1]["sec"] for p in passes])
+    cal_low = sum(c[0] for c in cals) / len(cals)
+    cal_high = sum(c[1] for c in cals) / len(cals)
+    hw_ceiling = cal_high / cal_low  # ≤1: per-core slowdown at high level
     speedup = r_low["sec"] / r_high["sec"]
     efficiency = speedup / (high / low)
     result = {"n_docs": n_docs, "mode": mode,
@@ -149,12 +168,16 @@ def main() -> None:
               "hw_percore_ceiling": round(hw_ceiling, 3),
               "calib_percore_loops_low": round(cal_low, 1),
               "calib_percore_loops_high": round(cal_high, 1),
+              "calib_per_pass": [[round(c[0], 1), round(c[1], 1)]
+                                 for c in cals],
               "scaling_efficiency_hw_normalized":
                   round(efficiency / hw_ceiling, 3),
               "loadavg_at_calib": la0,
-              "loadavg_at_low": la1,
-              "loadavg_at_high": la2,
-              "quiet": max(la0, la1, la2) < QUIET,
+              "loadavg_at_start": la1,
+              # post-measurement loadavg is dominated by our own just-
+              # finished 32-core work — recorded for context, NOT gated
+              "loadavg_post": la2,
+              "quiet": max(la0, la1) < QUIET,
               "passes_0_8": efficiency / hw_ceiling >= 0.8,
               # staleness stamps (ADVICE r2: a kept-best result must be
               # traceable to the code it measured and re-measurable)

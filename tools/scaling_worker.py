@@ -94,7 +94,8 @@ def main() -> None:
     loads = []
     probes = []
     n = 0
-    for _ in range(4):
+    n_runs = int(os.environ.get("SCALING_RUNS", "4"))
+    for _ in range(n_runs):
         spark.catalog.clearCache()  # identical plans must not reuse cache
         probes.append(round(_probe_loops(), 1))
         with open("/proc/loadavg") as f:
