@@ -404,9 +404,19 @@ def q_quality_score(spark, sf):
                     - F.when(n_words < 30, 0.3).otherwise(0.0)
                     - F.when(stop_ratio < 0.02, 0.3).otherwise(0.0)
                     - F.when(avg_word_len < 3.0, 0.2).otherwise(0.0), 2)
+    # punctuation fraction (task-brief quality signal) + repeated-line
+    # fraction (boilerplate/template indicator at corpus scale)
+    punct_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        / F.length("text"), 4)
+    lines = F.split(F.col("text"), "\n")
+    dup_line_ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 4)
     return docs.select("doc_id", n_words.cast("long").alias("n_words"),
                        stop_ratio.alias("stop_ratio"),
                        avg_word_len.alias("avg_word_len"),
+                       punct_ratio.alias("punct_ratio"),
+                       dup_line_ratio.alias("dup_line_ratio"),
                        score.alias("quality_score"))
 
 
@@ -1915,6 +1925,12 @@ def oracle_sql() -> dict[str, str]:
                    round(stop_hits / n_words, 4) AS stop_ratio,
                    round((length(text) - (n_words - 1)) / n_words, 4)
                        AS avg_word_len,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                         'g')) / CAST(length(text) AS DOUBLE), 4)
+                       AS punct_ratio,
+                   round(1.0 - len(list_distinct(string_split(text,
+                         chr(10)))) / CAST(len(string_split(text, chr(10)))
+                         AS DOUBLE), 4) AS dup_line_ratio,
                    cast(round(1.0
                        - (CASE WHEN n_words < 30 THEN 0.3 ELSE 0.0 END)
                        - (CASE WHEN round(stop_hits / n_words, 4) < 0.02
