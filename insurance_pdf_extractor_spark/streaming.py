@@ -84,6 +84,34 @@ def windowed_counts_stream(spark: SparkSession, landing_dir: str,
     q.awaitTermination()
 
 
+def fold_session_events(ts: list[int],
+                        state: tuple[int, int, int] | None,
+                        gap_s: int) -> tuple[list[tuple[int, int, int]],
+                                             tuple[int, int, int]]:
+    """Pure per-user session fold: (sorted event seconds, carried state)
+    → (closed sessions [(start, end, n_events)], new state).
+
+    State = (session_start, last_ts, n_events). Late events
+    (t < last_ts) are DROPPED — accepting one would regress last_ts and
+    let the next on-time event falsely close the session (ADVICE r2).
+    Extracted from the applyInPandasWithState operator so the fold is
+    unit-testable without a streaming harness."""
+    if state is None:
+        start, last, n = ts[0], ts[0] - 1, 0  # sentinel: first row opens
+    else:
+        start, last, n = state
+    closed: list[tuple[int, int, int]] = []
+    for t in ts:
+        if n and t < last:
+            continue
+        if n and t - last > gap_s:
+            closed.append((start, last, n))
+            start, n = t, 0
+        last = t
+        n += 1
+    return closed, (start, last, n)
+
+
 def sessionize_stream(spark: SparkSession, landing_dir: str,
                       output_dir: str, gap_s: int = 1800,
                       max_files_per_trigger: int = 1,
@@ -125,33 +153,17 @@ def sessionize_stream(spark: SparkSession, landing_dir: str,
         for pdf in pdfs:
             ts.extend(int(t.timestamp()) for t in pdf["ts"])
         ts.sort()
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = ts[0], ts[0] - 1, 0  # sentinel: first row opens
-        closed = {"user_id": [], "session_start": [], "session_end": [],
-                  "n_events": []}
-        for t in ts:
-            if n and t < last:
-                # late-data policy: an event older than the session's
-                # last_ts is DROPPED (watermark-like) — accepting it would
-                # regress state and let the next on-time event falsely
-                # close the session, diverging from the globally-sorted
-                # batch twin (ADVICE r2)
-                continue
-            if n and t - last > gap_s:
-                closed["user_id"].append(user_id)
-                closed["session_start"].append(start)
-                closed["session_end"].append(last)
-                closed["n_events"].append(n)
-                start, n = t, 0
-            last = t
-            n += 1
-        state.update((start, last, n))
+        prev = tuple(state.get) if state.exists else None
+        closed_sessions, new_state = fold_session_events(ts, prev, gap_s)
+        state.update(new_state)
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        if closed["user_id"]:
-            yield pd.DataFrame(closed)
+        if closed_sessions:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed_sessions),
+                "session_start": [s[0] for s in closed_sessions],
+                "session_end": [s[1] for s in closed_sessions],
+                "n_events": [s[2] for s in closed_sessions]})
 
     ev = (spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", str(max_files_per_trigger))

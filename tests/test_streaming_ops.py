@@ -152,3 +152,62 @@ class TestSessionizeLateData:
             return int((T0 + timedelta(hours=h)).timestamp())
         # ONE closed session 1.00-1.20 h with 3 events (late 0.20 dropped)
         assert got == {(1, hours(1.00), hours(1.20), 3)}
+
+
+class TestFoldSessionEvents:
+    """Direct unit tests of the pure session fold (incl. the paths a
+    streaming harness can't reach deterministically)."""
+
+    def test_fresh_state_single_session(self):
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+        closed, state = fold_session_events([100, 200, 300], None, 1800)
+        assert closed == [] and state == (100, 300, 3)
+
+    def test_gap_closes_and_carries(self):
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+        closed, state = fold_session_events([100, 200, 5000], None, 1800)
+        assert closed == [(100, 200, 2)] and state == (5000, 5000, 1)
+
+    def test_resumed_state_continues_session(self):
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+        closed, state = fold_session_events([400], (100, 300, 3), 1800)
+        assert closed == [] and state == (100, 400, 4)
+
+    def test_late_event_dropped_even_with_resumed_state(self):
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+        # event at 50 < last_ts 300: dropped; on-time 400 extends
+        closed, state = fold_session_events([50, 400], (100, 300, 3), 1800)
+        assert closed == [] and state == (100, 400, 4)
+
+    def test_multiple_sessions_one_batch(self):
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+        closed, state = fold_session_events(
+            [0, 10, 5000, 5010, 99999], None, 1800)
+        assert closed == [(0, 10, 2), (5000, 5010, 2)]
+        assert state == (99999, 99999, 1)
+
+    def test_fold_invariants(self):
+        """Closed sessions are ordered, disjoint by > gap, and counts
+        conserve (every non-late event lands in exactly one session)."""
+        from hypothesis import given, settings, strategies as st
+
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+
+        @given(st.lists(st.integers(0, 100000), min_size=1, max_size=60))
+        @settings(max_examples=150, deadline=None)
+        def check(raw):
+            ts = sorted(raw)
+            gap = 500
+            closed, (start, last, n) = fold_session_events(ts, None, gap)
+            sessions = closed + [(start, last, n)]
+            assert sum(s[2] for s in sessions) == len(ts)
+            for (s1, e1, _), (s2, _, _) in zip(sessions, sessions[1:]):
+                assert s1 <= e1 and s2 - e1 > gap
+
+        check()
