@@ -29,6 +29,34 @@ def _git_head() -> str:
         return "unknown"
 
 
+def _code_fingerprint() -> str:
+    """Hash of the measurement-relevant code: the bench tools and the
+    pipeline under test. Keep-best is scoped to THIS (not the commit):
+    a docs-only commit must not reset protection of a recorded quiet
+    result, while any change to what is measured (or how) must."""
+    import hashlib
+    h = hashlib.sha256()
+    rel = ["tools/scaling_bench.py", "tools/scaling_worker.py",
+           "bench.py", "insurance_pdf_extractor_spark"]
+    paths = []
+    for r in rel:
+        p = os.path.join(ROOT, r)
+        if os.path.isdir(p):
+            for base, _, names in sorted(os.walk(p)):
+                paths.extend(os.path.join(base, n)
+                             for n in sorted(names) if n.endswith(".py"))
+        else:
+            paths.append(p)
+    for p in paths:
+        try:
+            with open(p, "rb") as f:
+                h.update(p.encode())
+                h.update(f.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:12]
+
+
 def _prewarm(n_docs: int) -> None:
     """Pull the corpus into the page cache so neither level pays disk."""
     path = os.path.join("/tmp/spark_graft_bench",
@@ -182,6 +210,7 @@ def main() -> None:
               # staleness stamps (ADVICE r2: a kept-best result must be
               # traceable to the code it measured and re-measurable)
               "commit": _git_head(),
+              "code_fingerprint": _code_fingerprint(),
               "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z")}
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     # every attempt is archived; scaling.json holds the best QUIET-window
@@ -199,11 +228,13 @@ def main() -> None:
         p_q, r_q = prev.get("quiet", False), result["quiet"]
         p_eff = prev.get("scaling_efficiency_hw_normalized", 0)
         r_eff = result["scaling_efficiency_hw_normalized"]
-        # keep-best is scoped to the CURRENT commit (ADVICE r2: a
-        # historical best must not shield a real regression forever) —
-        # a result measured on different code never survives a quiet
-        # attempt on the code under test
-        same_code = prev.get("commit") == result["commit"]
+        # keep-best is scoped to the measurement-relevant code
+        # fingerprint (ADVICE r2: a historical best must not shield a
+        # real regression forever) — a result measured on different
+        # code never survives a quiet attempt on the code under test,
+        # while docs-only commits don't reset protection
+        same_code = (prev.get("code_fingerprint")
+                     == result["code_fingerprint"])
         if same_code and (p_q, p_eff) > (r_q, r_eff):
             keep = prev
     with open(best_path, "w") as f:
