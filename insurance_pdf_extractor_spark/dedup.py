@@ -1,0 +1,88 @@
+"""Near-duplicate CLUSTERING: candidate pairs → connected components →
+keeper election.
+
+The LSH banding stage (``__spark_entry__.q_lsh_band_pairs`` /
+``lsh_pairs_from_signatures``) emits candidate PAIRS; a production
+training-data dedup (the task brief's 100 TB mandate) must then group
+transitively-connected documents into clusters and keep one
+representative per cluster. Connected components is inherently
+iterative — no single SQL query expresses it — so this is a driver-side
+loop of pure DataFrame steps (Pregel-style label propagation), the
+standard big-data formulation (cf. the alternating small-star/large-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14; this implementation is the simple min-label-propagation
+variant, adequate for the short chains near-dup graphs produce).
+
+Scale notes:
+- Each iteration is one self-contained Spark job: edges ⋈ labels →
+  min-per-node → change count. Convergence needs O(graph diameter)
+  iterations; near-dup components are shallow (pairs share ≥1 LSH band),
+  so diameters of 2-4 dominate.
+- ``localCheckpoint`` every iteration truncates the lineage (an
+  iterative join otherwise compounds the plan and re-executes history);
+  on a cluster with a checkpoint dir, ``checkpoint`` gives the same
+  truncation with fault tolerance.
+- The edge table is reused every iteration → persisted once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame,
+                         src: str = "doc_a", dst: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(src, dst) undirected candidate pairs → (doc_id, cluster_id),
+    cluster_id = min doc_id reachable (a stable, deterministic label).
+
+    Only ids that appear in some pair are returned — callers union the
+    singletons back (see :func:`dedup_documents`)."""
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .unionByName(pairs.select(F.col(dst).alias("a"),
+                                       F.col(src).alias("b")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("a").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        # candidate label per node = min(own, min over neighbours')
+        neighbour = (edges.join(labels,
+                                edges.b == F.col("doc_id"), "inner")
+                     .select(F.col("a").alias("doc_id"),
+                             F.col("label")))
+        new_labels = (labels.unionByName(neighbour)
+                      .groupBy("doc_id")
+                      .agg(F.min("label").alias("label")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_documents(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id",
+                    max_iter: int = 20) -> DataFrame:
+    """Full dedup verdict per document: (id, cluster_id, is_keeper).
+
+    ``docs``: one row per document (any extra columns pass through is
+    NOT needed — only the id column is read). ``pairs``: near-dup
+    candidate pairs over those ids (e.g. LSH band pairs). Documents in
+    no pair form singleton clusters. Keeper = min id per cluster (the
+    reference keeps the first-seen record; min-id is the deterministic
+    distributed equivalent, matching dedup_exact's keeper_doc_id)."""
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    comp = connected_components(pairs, max_iter=max_iter)
+    labelled = (ids.join(comp, "doc_id", "left")
+                .withColumn("cluster_id",
+                            F.coalesce("cluster_id", "doc_id")))
+    return labelled.withColumn(
+        "is_keeper", F.col("doc_id") == F.col("cluster_id"))

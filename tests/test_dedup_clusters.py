@@ -1,0 +1,115 @@
+"""Near-dup clustering: connected components + keeper election
+(insurance_pdf_extractor_spark/dedup.py)."""
+
+import random
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from insurance_pdf_extractor_spark.dedup import (connected_components,
+                                                 dedup_documents)
+
+
+def _cc_reference(edges, nodes):
+    """Pure-python union-find ground truth."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    out = {}
+    for n in nodes:
+        r = find(n)
+        out.setdefault(r, []).append(n)
+    return {n: min(mem) for r, mem in out.items() for n in mem}
+
+
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_cycle(self, spark):
+        pairs = spark.createDataFrame(
+            [(5, 6), (6, 7), (5, 7)], ["doc_a", "doc_b"])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        assert got == {5: 5, 6: 5, 7: 5}
+
+    @given(st.integers(0, 2**31 - 1), st.integers(0, 40))
+    @settings(max_examples=6, deadline=None)
+    def test_random_graphs_match_union_find(self, spark, seed, n_edges):
+        rng = random.Random(seed)
+        nodes = list(range(1, 25))
+        edges = [(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        touched = sorted({n for e in edges for n in e})
+        assert got == {n: c for n, c in
+                       _cc_reference(edges, touched).items()}
+
+
+class TestDedupDocuments:
+    def test_singletons_and_keepers(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(1, 8)],
+                                     ["doc_id"])
+        pairs = spark.createDataFrame([(2, 5), (5, 6)],
+                                      ["doc_a", "doc_b"])
+        rows = {r["doc_id"]: r for r in
+                dedup_documents(docs, pairs).collect()}
+        assert rows[2]["cluster_id"] == 2 and rows[2]["is_keeper"]
+        assert rows[5]["cluster_id"] == 2 and not rows[5]["is_keeper"]
+        assert rows[6]["cluster_id"] == 2 and not rows[6]["is_keeper"]
+        for single in (1, 3, 4, 7):
+            assert rows[single]["cluster_id"] == single
+            assert rows[single]["is_keeper"]
+        # exactly one keeper per cluster
+        df = dedup_documents(docs, pairs)
+        per = (df.groupBy("cluster_id")
+               .agg(F.sum(F.col("is_keeper").cast("int")).alias("k"))
+               .collect())
+        assert all(r["k"] == 1 for r in per)
+
+    def test_lsh_twins_cluster_with_originals(self, spark):
+        """End-to-end over the LSH stage: tail-chopped twins must land in
+        their original's cluster and lose keeper election to it."""
+        import __spark_entry__ as E
+        sf = "/root/testdata/sf0.001"
+        corpus = E._corpus_with_twins(spark, sf).where(
+            (F.col("doc_id") % 1000) < 50)
+        pairs = E.q_lsh_band_pairs(spark, sf)
+        verdict = dedup_documents(corpus.select("doc_id"), pairs)
+        rows = {r["doc_id"]: r for r in verdict.collect()}
+        originals = [d for d in rows if d < 100000]
+        paired = [d for d in originals
+                  if rows.get(d + 100000) is not None
+                  and rows[d + 100000]["cluster_id"] == rows[d]["cluster_id"]]
+        # LSH at s-curve ~0.5 catches nearly every tail-chop twin
+        assert len(paired) >= 0.7 * len(originals)
+        # a twin never wins keeper election (its original, id-100000
+        # smaller, is in the same cluster — the cluster min is < twin)
+        for d in paired:
+            assert not rows[d + 100000]["is_keeper"]
+        # exactly one keeper per cluster, and it's the min id
+        by_cluster: dict[int, list[int]] = {}
+        for d, r in rows.items():
+            by_cluster.setdefault(r["cluster_id"], []).append(d)
+        for cid, members in by_cluster.items():
+            keepers = [d for d in members if rows[d]["is_keeper"]]
+            assert keepers == [min(members)] and min(members) == cid
