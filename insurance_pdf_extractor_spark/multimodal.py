@@ -122,3 +122,115 @@ def extract_media_features(df: DataFrame, run_id: str = "media",
     """web_pages(url, html, …) → MEDIA_FEATURES rows (one per doc)."""
     return df.select("url", "html").mapInPandas(
         make_media_fn(run_id, metrics_dir, use_fake), schema=MEDIA_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# derivative operators: resize (thumbnail) + frame sampling
+# (task brief: "decode / feature-extract / resize / frame-sample as
+# Pandas UDFs over mapInPandas ... STUB the decode step ... make the
+# Spark-side plumbing — schema, partitioning, UDF signature, batch
+# shape — real and tested")
+# ---------------------------------------------------------------------------
+
+MEDIA_DERIVATIVES_SCHEMA = (
+    "url string, media_kind string, "
+    "thumb_w int, thumb_h int, thumb_sha256 string, "
+    "n_frames int, frame_shas array<string>, "
+    "decoded boolean, decode_error string")
+
+
+def resize_media(_data: bytes, _w: int, _h: int):  # pragma: no cover
+    """Real resize injection point (PIL.Image.thumbnail / ffmpeg scale
+    on a cluster image). Not available in this sandbox."""
+    raise NotImplementedError(
+        "image resize requires PIL/ffmpeg, not present in this "
+        "environment; fake_thumbnail is used for tests/benchmarks")
+
+
+def fake_thumbnail(data: bytes, w: int, h: int) -> bytes:
+    """DETERMINISTIC FAKE resize: sample w*h bytes evenly across the
+    payload — same output length and addressing a real thumbnail's
+    pixel buffer would have, so downstream schema/size handling is
+    fully exercised."""
+    n = len(data)
+    total = w * h
+    if n == 0 or total == 0:
+        return b""
+    step = max(n // total, 1)
+    return bytes(data[min(i * step, n - 1)] for i in range(total))
+
+
+def sample_frames(_data: bytes, _stride: int):  # pragma: no cover
+    """Real frame-sampling injection point (ffmpeg -vf select / pyav)."""
+    raise NotImplementedError(
+        "video frame sampling requires ffmpeg/pyav, not present in this "
+        "environment; fake_frames is used for tests/benchmarks")
+
+
+def fake_frames(data: bytes, stride: int,
+                frame_bytes: int = 4096) -> list[bytes]:
+    """DETERMINISTIC FAKE frame sampler: treat the payload as
+    fixed-size 'frames' and keep every ``stride``-th one."""
+    if not data or stride <= 0:
+        return []
+    frames = [data[i:i + frame_bytes]
+              for i in range(0, len(data), frame_bytes)]
+    return frames[::stride]
+
+
+def make_derivatives_fn(thumb_w: int, thumb_h: int, frame_stride: int,
+                        use_fake: bool = True):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": [], "media_kind": [], "thumb_w": [], "thumb_h": [],
+                "thumb_sha256": [], "n_frames": [], "frame_shas": [],
+                "decoded": [], "decode_error": []}
+            for url, data in zip(pdf["url"], pdf["html"]):
+                data = bytes(data) if data is not None else b""
+                kind = sniff_media_kind(data or None)
+                thumb_sha = None
+                shas: list[str] = []
+                decoded = False
+                err = None
+                try:
+                    if use_fake:
+                        thumb = fake_thumbnail(data, thumb_w, thumb_h)
+                        frames = fake_frames(data, frame_stride)
+                        decoded = True
+                    else:
+                        thumb = resize_media(data, thumb_w, thumb_h)
+                        frames = sample_frames(data, frame_stride)
+                        decoded = True
+                    thumb_sha = (hashlib.sha256(thumb).hexdigest()
+                                 if thumb else None)
+                    shas = [hashlib.sha256(f).hexdigest() for f in frames]
+                except NotImplementedError as exc:
+                    err = str(exc)[:120]
+                out["url"].append(url)
+                out["media_kind"].append(kind)
+                out["thumb_w"].append(thumb_w)
+                out["thumb_h"].append(thumb_h)
+                out["thumb_sha256"].append(thumb_sha)
+                out["n_frames"].append(len(shas))
+                out["frame_shas"].append(shas)
+                out["decoded"].append(decoded)
+                out["decode_error"].append(err)
+            df = pd.DataFrame(out)
+            df["thumb_w"] = df["thumb_w"].astype("int32")
+            df["thumb_h"] = df["thumb_h"].astype("int32")
+            df["n_frames"] = df["n_frames"].astype("int32")
+            yield df
+    return fn
+
+
+def extract_media_derivatives(df: DataFrame, thumb_w: int = 16,
+                              thumb_h: int = 16, frame_stride: int = 4,
+                              use_fake: bool = True) -> DataFrame:
+    """web_pages(url, html, …) → per-doc thumbnail digest + sampled-frame
+    digests. Same partitioning contract as extract_media_features: the
+    fat binary column crosses Arrow exactly once, derivatives come back
+    as compact typed columns."""
+    return df.select("url", "html").mapInPandas(
+        make_derivatives_fn(thumb_w, thumb_h, frame_stride, use_fake),
+        schema=MEDIA_DERIVATIVES_SCHEMA)

@@ -93,3 +93,44 @@ class TestStreamingIngest:
         # re-run with nothing new → zero growth
         ingest_available_now(spark, landing, out)
         assert spark.read.parquet(os.path.join(out, "docs")).count() == 30
+
+
+class TestMediaDerivatives:
+    """Resize + frame-sample plumbing (decode itself stubbed per brief):
+    schema, batch shape, determinism, and the injection-point error
+    path."""
+
+    def test_schema_and_determinism(self, spark, web_pages):
+        from insurance_pdf_extractor_spark.multimodal import (
+            extract_media_derivatives)
+        out = extract_media_derivatives(web_pages.limit(20),
+                                        thumb_w=8, thumb_h=8,
+                                        frame_stride=2)
+        assert dict(out.dtypes)["frame_shas"] == "array<string>"
+        rows1 = {r["url"]: r for r in out.collect()}
+        rows2 = {r["url"]: r for r in out.collect()}
+        assert len(rows1) == 20
+        for url, r in rows1.items():
+            assert r["thumb_w"] == 8 and r["thumb_h"] == 8
+            assert rows2[url]["thumb_sha256"] == r["thumb_sha256"]
+            assert rows2[url]["frame_shas"] == r["frame_shas"]
+            if r["decoded"] and r["thumb_sha256"]:
+                assert len(r["thumb_sha256"]) == 64
+
+    def test_fake_thumbnail_and_frames_shapes(self):
+        from insurance_pdf_extractor_spark.multimodal import (
+            fake_frames, fake_thumbnail)
+        data = bytes(range(256)) * 64  # 16 KiB
+        assert len(fake_thumbnail(data, 16, 16)) == 256
+        assert fake_thumbnail(b"", 16, 16) == b""
+        frames = fake_frames(data, stride=2, frame_bytes=4096)
+        assert len(frames) == 2  # 4 frames, every 2nd
+        assert fake_frames(b"", 2) == []
+
+    def test_real_engine_injection_error_path(self, spark, web_pages):
+        from insurance_pdf_extractor_spark.multimodal import (
+            extract_media_derivatives)
+        out = extract_media_derivatives(web_pages.limit(4),
+                                        use_fake=False).collect()
+        assert all(not r["decoded"] for r in out)
+        assert all(r["decode_error"] for r in out)
