@@ -1,0 +1,53 @@
+"""User-facing dedup driver: near-duplicate clustering over a documents
+parquet (the training-data-pipeline companion to verify_job.py).
+
+    spark-submit --py-files engine.zip tools/dedup_job.py \
+        <documents.parquet> <out_dir>
+
+Stages: MinHash signatures (staged to parquet once — the pipeline-reuse
+shape) → LSH banding pairs → connected components → keeper election.
+Writes <out_dir>/verdict (doc_id, cluster_id, is_keeper) and prints a
+one-line JSON summary.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from insurance_pdf_extractor_spark.dedup import dedup_documents  # noqa: E402
+from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
+
+docs_path, out_dir = sys.argv[1], sys.argv[2]
+spark = get_spark(app_name="dedup-job")
+spark.sparkContext.setLogLevel("ERROR")
+t0 = time.monotonic()
+
+import __spark_entry__ as E  # noqa: E402  (signature/banding builders)
+
+docs = spark.read.parquet(docs_path).select("doc_id", "text")
+sh = docs.select("doc_id", F.explode(E._shingles(F.col("text"), 2))
+                 .alias("sh"))
+h = F.md5(F.col("sh"))
+sh = sh.select("doc_id", E._hex32(h, 1).alias("ha"),
+               E._hex32(h, 9).alias("hb"))
+sig = sh.groupBy("doc_id").agg(
+    *[F.min((F.col("ha") + k * F.col("hb")) % E._MH_PRIME)
+       .alias(f"mh{k:02d}") for k in range(E.MINHASH_PERMS)])
+sig_path = os.path.join(out_dir, "_signatures")
+sig.write.mode("overwrite").parquet(sig_path)          # staged ONCE
+pairs = E.lsh_pairs_from_signatures(spark.read.parquet(sig_path))
+verdict = dedup_documents(docs.select("doc_id"), pairs)
+verdict.write.mode("overwrite").parquet(os.path.join(out_dir, "verdict"))
+
+v = spark.read.parquet(os.path.join(out_dir, "verdict"))
+n_docs = v.count()
+n_keep = v.where("is_keeper").count()
+print(json.dumps({"docs": n_docs, "keepers": n_keep,
+                  "dupes_removed": n_docs - n_keep,
+                  "sec": round(time.monotonic() - t0, 1)}))
+spark.stop()
