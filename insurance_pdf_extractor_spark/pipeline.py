@@ -73,9 +73,14 @@ def _committed_urls(spark: SparkSession, path: str) -> DataFrame | None:
     The file listing is snapshotted HERE (DataFrame creation), before any
     same-run append — Iceberg-snapshot-like isolation for the anti-join."""
     try:
-        if os.path.isdir(path) and any(
-                n.endswith(".parquet") for n in os.listdir(path)):
-            return spark.read.parquet(path).select("url")
+        if os.path.isdir(path):
+            names = os.listdir(path)
+            # flat layout: part files at the top; partitioned layout
+            # (partition_output_by_date): key=value subdirectories
+            if any(n.endswith(".parquet") for n in names) or any(
+                    "=" in n and os.path.isdir(os.path.join(path, n))
+                    for n in names):
+                return spark.read.parquet(path).select("url")
     except Exception:
         pass
     return None
@@ -117,12 +122,20 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  num_partitions: int | None = None,
                  resume: bool = True,
                  repartition: str = "auto",
-                 cache_intermediate: bool = True) -> PipelineResult:
+                 cache_intermediate: bool = True,
+                 partition_output_by_date: bool = False) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
     output_dir: if set, writes ``claims/`` + ``docs/`` parquet (append)
     and a Spark-written ``metrics/`` lineage table; re-runs anti-join
     committed urls first (idempotent — north_rule resumability).
+
+    partition_output_by_date: partition the docs table by
+    ``crawl_date = date(warc_ts)`` — the 100 TB layout (an Iceberg
+    identity/day partition spec): readers prune whole crawl days, and
+    appends only touch the days present in the delta. Off by default so
+    small-corpus outputs stay single-directory. The resume anti-join is
+    layout-independent (it reads only ``url``).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.monotonic()
@@ -187,7 +200,13 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             claims = claims.join(committed_claims.distinct(), "url",
                                  "left_anti")
         claims.write.mode("append").parquet(claims_path)
-        docs.write.mode("append").parquet(docs_path)
+        if partition_output_by_date:
+            (docs.withColumn("crawl_date",
+                             F.to_date("warc_ts").cast("string"))
+                 .write.mode("append").partitionBy("crawl_date")
+                 .parquet(docs_path))
+        else:
+            docs.write.mode("append").parquet(docs_path)
         # delta = this run's staged rows (column-pruned count of the
         # small staged delta); cumulative = committed-before + delta —
         # exact in every crash-resume scenario (a metrics-ledger sum

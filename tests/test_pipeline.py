@@ -304,3 +304,34 @@ class TestDocsWrittenLedger:
                            run_id="w2")
         # docs table was reset out-of-band: committed_before must be 0
         assert res.docs_written == 20 and res.docs_delta == 20
+
+
+class TestPartitionedOutput:
+    def test_date_partitioned_docs_resume(self, spark, web_pages,
+                                          tmp_path):
+        """Date-partitioned docs layout (the 100 TB spec): partition
+        dirs exist, pruning applies, and the resume anti-join is
+        layout-independent."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = str(tmp_path / "out")
+        n = web_pages.count()
+        run_pipeline(spark, web_pages, output_dir=out, run_id="p1",
+                     partition_output_by_date=True)
+        docs_dir = os.path.join(out, "docs")
+        parts = [d for d in os.listdir(docs_dir)
+                 if d.startswith("crawl_date=")]
+        assert parts, "no partition directories written"
+        docs = spark.read.parquet(docs_dir)
+        assert docs.count() == n
+        # partition pruning: a single-day filter scans one partition
+        one_day = parts[0].split("=", 1)[1]
+        pruned = docs.where(F.col("crawl_date") == one_day)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(crawl_date" in plan \
+            or "crawl_date" in plan
+        assert pruned.count() > 0
+        # resume over the partitioned layout: zero new rows
+        res = run_pipeline(spark, web_pages, output_dir=out, run_id="p2",
+                           partition_output_by_date=True)
+        assert res.docs_delta == 0 and res.docs_written == n
+        assert spark.read.parquet(docs_dir).count() == n
