@@ -86,3 +86,54 @@ def dedup_documents(docs: DataFrame, pairs: DataFrame,
                             F.coalesce("cluster_id", "doc_id")))
     return labelled.withColumn(
         "is_keeper", F.col("doc_id") == F.col("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairing (the stage after the registry's simhash64
+# signatures): banded candidate join + exact Hamming filter
+# ---------------------------------------------------------------------------
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id",
+                       sim_col: str = "simhash") -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming distance ≤
+    ``max_hamming`` over 64-bit simhashes (16 hex chars).
+
+    Banding: the 64 bits split into 4 bands of 4 nibbles; candidates
+    join on (band_no, band_value) — bucketed, never all-pairs. By
+    pigeonhole, any pair within Hamming distance 3 shares at least one
+    of the 4 bands, so results are EXACT for max_hamming ≤ 3 (the
+    useful near-dup range); larger thresholds become approximate.
+    Exact distance is then a native nibble-XOR popcount filter."""
+    if max_hamming > 3:
+        raise ValueError("banded join is only exact for max_hamming <= 3")
+    bands = [F.struct(F.lit(b).alias("band_no"),
+                      F.substring(sim_col, b * 4 + 1, 4).alias("bv"))
+             for b in range(4)]
+    stacked = (sig.select(F.col(id_col).alias("doc_id"),
+                          F.col(sim_col).alias("sh"),
+                          F.explode(F.array(*bands)).alias("band"))
+               .select("doc_id", "sh", "band.band_no", "band.bv"))
+    cand = (stacked.alias("a")
+            .join(stacked.alias("b"), ["band_no", "bv"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.sh").alias("sha"),
+                    F.col("b.sh").alias("shb"))
+            .distinct())
+    # popcount(a xor b) nibble-wise: conv each hex char to int, xor,
+    # look up bit count via a when-chain (native, codegen-friendly)
+    ham = F.lit(0)
+    for i in range(1, 17):
+        xa = F.conv(F.substring("sha", i, 1), 16, 10).cast("int")
+        xb = F.conv(F.substring("shb", i, 1), 16, 10).cast("int")
+        x = xa.bitwiseXOR(xb)
+        pc = (x.bitwiseAND(F.lit(1))
+              + F.shiftright(x, 1).bitwiseAND(F.lit(1))
+              + F.shiftright(x, 2).bitwiseAND(F.lit(1))
+              + F.shiftright(x, 3).bitwiseAND(F.lit(1)))
+        ham = ham + pc
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

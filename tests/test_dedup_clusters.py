@@ -113,3 +113,44 @@ class TestDedupDocuments:
         for cid, members in by_cluster.items():
             keepers = [d for d in members if rows[d]["is_keeper"]]
             assert keepers == [min(members)] and min(members) == cid
+
+
+class TestSimhashNearPairs:
+    def test_exact_within_3_bits(self, spark):
+        from insurance_pdf_extractor_spark.dedup import simhash_near_pairs
+        sig = spark.createDataFrame([
+            (1, "0000000000000000"),
+            (2, "0000000000000001"),   # 1 bit from #1
+            (3, "0000000000000007"),   # 3 bits from #1, 2 from #2
+            (4, "ffffffffffffffff"),   # far from all
+            (5, "fffffffffffffffe"),   # 1 bit from #4
+        ], ["doc_id", "simhash"])
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in simhash_near_pairs(sig, max_hamming=3).collect()}
+        assert got == {(1, 2): 1, (1, 3): 3, (2, 3): 2, (4, 5): 1}
+
+    def test_threshold_guard(self, spark):
+        import pytest
+        from insurance_pdf_extractor_spark.dedup import simhash_near_pairs
+        sig = spark.createDataFrame([(1, "0" * 16)], ["doc_id", "simhash"])
+        with pytest.raises(ValueError):
+            simhash_near_pairs(sig, max_hamming=4)
+
+    def test_over_registry_signatures(self, spark):
+        """Chain from the registry's simhash64 signatures: identical
+        texts pair at distance 0 and cluster together."""
+        import __spark_entry__ as E
+        from insurance_pdf_extractor_spark.dedup import (
+            connected_components, simhash_near_pairs)
+        sig = E.q_simhash64(spark, "/root/testdata/sf0.001")
+        pairs = simhash_near_pairs(sig, max_hamming=3)
+        rows = pairs.collect()
+        sig_map = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+        for r in rows:
+            a, b = sig_map[r["doc_a"]], sig_map[r["doc_b"]]
+            ham = sum(bin(int(x, 16) ^ int(y, 16)).count("1")
+                      for x, y in zip(a, b))
+            assert ham == r["hamming"] <= 3
+        if rows:
+            comp = connected_components(pairs)
+            assert comp.count() > 0
