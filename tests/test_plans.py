@@ -128,3 +128,34 @@ class TestLazyBuilders:
                     f"{name} ran {len(jobs)} job(s) at plan-build time")
             finally:
                 sc.setJobGroup("", "")
+
+
+class TestR3OperatorPlans:
+    def test_simhash_pairs_no_cartesian(self, spark):
+        from insurance_pdf_extractor_spark.dedup import simhash_near_pairs
+        sig = spark.createDataFrame(
+            [(i, f"{i:016x}") for i in range(8)], ["doc_id", "simhash"])
+        plan = _plan(simhash_near_pairs(sig))
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan  # popcount stays native
+
+    def test_multiprobe_candidates_broadcast_pruned(self, spark):
+        from insurance_pdf_extractor_spark.ann import ann_multiprobe
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = _plan(ann_multiprobe(emb, 0, k=5, n_probes=2))
+        # the probe set and query vector join in broadcast form; the
+        # full embedding table is never self-joined
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_lsh_staged_reads_parquet_not_shingles(self, spark, tmp_path):
+        """The staged LSH split must scan the signature table, not
+        recompute the shingle pipeline."""
+        import __spark_entry__ as E
+        sig_path = str(tmp_path / "sig")
+        E.q_minhash_signatures(spark, SF).write.parquet(sig_path)
+        plan = _plan(E.lsh_pairs_from_signatures(
+            spark.read.parquet(sig_path)))
+        assert "md5" not in plan.lower() or "explode" in plan.lower()
+        assert plan.count("FileScan parquet") >= 1
+        assert "documents.parquet" not in plan
