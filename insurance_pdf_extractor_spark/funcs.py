@@ -150,3 +150,26 @@ def looks_reversed(text: Column) -> Column:
             F.coalesce(text, F.lit("")).contains(kw)
             | low.contains(kw.lower()), 1).otherwise(0)
     return hits >= 2
+
+
+def winnow_fingerprints(text_col: str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the task brief's 'rolling hash' fingerprinting): hash
+    every k-gram, slide a window of w consecutive hashes, keep each
+    window's minimum; any shared substring of length ≥ w + k - 1 between
+    two documents is GUARANTEED to share a fingerprint.
+
+    Entirely native (one SQL expression, no UDF): md5 stands in for the
+    rolling hash — O(n·k) instead of O(n), irrelevant at k=8, and its
+    lexicographic min is engine-portable (string ordering is identical
+    everywhere, unlike integer hash implementations). Returns
+    array<string> of distinct selected fingerprints, [] for texts
+    shorter than w + k - 1."""
+    return F.expr(f"""
+        CASE WHEN length({text_col}) >= {w + k - 1} THEN
+          array_distinct(transform(
+            sequence(1, length({text_col}) - {k} + 1 - {w} + 1),
+            j -> array_min(transform(sequence(j, j + {w} - 1),
+                           i -> md5(substring({text_col}, i, {k}))))))
+        ELSE array()
+        END""").cast("array<string>")
