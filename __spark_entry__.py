@@ -438,9 +438,15 @@ def q_lang_id(spark, sf):
 
 
 def q_fingerprint(spark, sf):
+    """Exact fingerprint (normalized md5) + winnowing rolling-hash
+    fingerprint count (funcs.winnow_fingerprints; k=8, w=4) — both
+    oracle-recomputed."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"),
+        F.size(C.winnow_fingerprints("text")).cast("int")
+         .alias("n_winnow"))
 
 
 def q_dedup_exact(spark, sf):
@@ -1960,7 +1966,14 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
-                       AS fingerprint
+                       AS fingerprint,
+                   CAST(CASE WHEN length(text) >= 11 THEN
+                       len(list_distinct([
+                           list_min([md5(substr(text, i + j, 8))
+                                     FOR j IN range(0, 4)])
+                           FOR i IN range(1, length(text) - 8 + 1 - 4 + 2)
+                       ]))
+                   ELSE 0 END AS INT) AS n_winnow
             FROM documents WHERE doc_id < 100""",
         "dedup_exact": """
             WITH fp AS (
