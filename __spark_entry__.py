@@ -378,19 +378,23 @@ def q_financial_validation(spark, sf):
 # --- documents: text analysis ----------------------------------------------
 
 def q_doc_stats(spark, sf):
-    """A8 char totals + C13 token counting (merged) per source."""
+    """A8 char totals + C13 token counting (merged) per source:
+    whitespace tokens, chars/4 estimate, and the BPE-ish-regex count
+    (task brief: 'token counting (whitespace + a BPE-ish regex)')."""
     docs = _t(spark, sf, "documents")
     return (docs
             .withColumn("n_tokens",
                         F.size(F.split(F.col("text"), r"\s+")).cast("long"))
             .withColumn("est_tokens", C.token_estimate(F.col("text")))
+            .withColumn("bpe_tokens", C.bpe_ish_token_count(F.col("text")))
             .groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.length("text")).alias("total_chars"),
                  F.sum("n_chars").alias("total_nchars"),
                  F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
                  F.sum("n_tokens").alias("sum_tokens"),
-                 F.sum("est_tokens").alias("sum_est_tokens")))
+                 F.sum("est_tokens").alias("sum_est_tokens"),
+                 F.sum("bpe_tokens").alias("sum_bpe_tokens")))
 
 
 def q_quality_score(spark, sf):
@@ -1918,7 +1922,10 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 4) AS avg_chars,
                    CAST(sum(len(regexp_split_to_array(text, '\\s+')))
                        AS BIGINT) AS sum_tokens,
-                   CAST(sum(length(text) // 4) AS BIGINT) AS sum_est_tokens
+                   CAST(sum(length(text) // 4) AS BIGINT) AS sum_est_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '''(?:s|t|m|d|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')))
+                       AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY source""",
         "quality_score": f"""
             WITH w AS (

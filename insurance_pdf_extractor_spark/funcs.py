@@ -173,3 +173,20 @@ def winnow_fingerprints(text_col: str, k: int = 8, w: int = 4) -> Column:
                            i -> md5(substring({text_col}, i, {k}))))))
         ELSE array()
         END""").cast("array<string>")
+
+
+#: GPT-2-style pretokenizer shape (contractions | letter runs | digit
+#: runs | punct runs | whitespace runs) — the task brief's "BPE-ish
+#: regex" token counter. Portable subset: \p{L}/\p{N} classes exist in
+#: both Java regex (Spark) and RE2 (DuckDB), so the count is
+#: oracle-checkable cross-engine.
+BPE_ISH_PATTERN = (r"'(?:s|t|m|d|ll|ve|re)"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """C13 upgrade: token count under a BPE-style pretokenization regex
+    (closer to real LLM token budgets than whitespace splitting — digit
+    runs, punctuation runs and contractions count separately)."""
+    return F.regexp_count(F.coalesce(text, F.lit("")),
+                          F.lit(BPE_ISH_PATTERN)).cast("long")

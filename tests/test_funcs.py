@@ -94,3 +94,10 @@ def test_retry_plan_array_variant(spark):
     csv = {(r["url"], r["batch_no"]): r["claim_ids"]
            for r in E.q_retry_batches(spark, None).collect()}
     assert csv[("u1", 0)] == "11,13,14,15,16"
+
+
+def test_bpe_ish_token_count(spark):
+    out = _eval(spark, C.bpe_ish_token_count(F.col("v")),
+                ["it's a test, 123 dogs!", "", None, "hello world"])
+    # 'it's'→[it]['s], ' a', ' test', ',', ' 123', ' dogs', '!' = 8
+    assert out == [8, 0, 0, 2]
