@@ -554,20 +554,30 @@ def q_ngram_jaccard_pairs(spark, sf):
     return out
 
 
-def q_minhash_signatures(spark, sf):
-    """64-permutation MinHash: one md5 per shingle split into two 32-bit
-    halves (a, b); permutation k is min((a + k*b) mod p). Column mh00..
-    mh63; banding in q_lsh_band_pairs groups them 4-per-band."""
-    corpus = _corpus_with_twins(spark, sf).where(
-        (F.col("doc_id") % 1000) < 50)
-    sh = corpus.select("doc_id",
-                       F.explode(_shingles(F.col("text"), 2)).alias("sh"))
+def minhash_signatures_from_docs(docs: DataFrame,
+                                 shingle_n: int = 2) -> DataFrame:
+    """(doc_id, text) → 64-permutation MinHash signature table: one md5
+    per shingle split into two 32-bit halves (a, b); permutation k is
+    min((a + k*b) mod p). Columns mh00..mh63. The ONE definition of the
+    signature stage — the oracle query and tools/dedup_job.py both call
+    it (code-review r3: a silently-diverging copy defeats the gate)."""
+    sh = docs.select("doc_id",
+                     F.explode(_shingles(F.col("text"), shingle_n))
+                      .alias("sh"))
     h = F.md5(F.col("sh"))
     sh = sh.select("doc_id", _hex32(h, 1).alias("ha"),
                    _hex32(h, 9).alias("hb"))
     aggs = [F.min((F.col("ha") + k * F.col("hb")) % _MH_PRIME)
              .alias(f"mh{k:02d}") for k in range(MINHASH_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_signatures(spark, sf):
+    """64-perm MinHash over the twin corpus; banding in
+    q_lsh_band_pairs groups the columns 4-per-band."""
+    corpus = _corpus_with_twins(spark, sf).where(
+        (F.col("doc_id") % 1000) < 50)
+    return minhash_signatures_from_docs(corpus)
 
 
 def lsh_pairs_from_signatures(sig: DataFrame) -> DataFrame:

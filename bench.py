@@ -23,9 +23,23 @@ FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 CACHE_DIR = "/tmp/spark_graft_bench"
 
 
+def _gen_fingerprint() -> str:
+    """Content hash of the fixture generator: a cached corpus written by
+    OLD generator code must not silently feed new-code benchmarks
+    (code-review r3 finding — the r2 cache had no amtrust/homestates
+    docs)."""
+    import hashlib
+
+    from insurance_pdf_extractor_spark import fixtures
+    with open(fixtures.__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:10]
+
+
 def ensure_fixture_corpus(n_docs: int) -> str:
-    """Deterministic mixed-class web_pages parquet, cached across runs."""
-    path = os.path.join(CACHE_DIR, f"web_pages_{n_docs}.parquet")
+    """Deterministic mixed-class web_pages parquet, cached across runs;
+    cache key includes the generator-code fingerprint."""
+    path = os.path.join(
+        CACHE_DIR, f"web_pages_{n_docs}_{_gen_fingerprint()}.parquet")
     if not os.path.exists(path):
         os.makedirs(CACHE_DIR, exist_ok=True)
         from insurance_pdf_extractor_spark.fixtures import (
@@ -41,7 +55,9 @@ def ensure_skewed_corpus(n_small: int = 6000, n_giant: int = 4,
     artifact, not just a pytest). Per-doc granularity is the floor; the
     hash repartition spreads everything else around the giants."""
     path = os.path.join(
-        CACHE_DIR, f"web_pages_skewed_{n_small}_{n_giant}.parquet")
+        CACHE_DIR,
+        f"web_pages_skewed_{n_small}_{n_giant}_{_gen_fingerprint()}"
+        ".parquet")
     if not os.path.exists(path):
         os.makedirs(CACHE_DIR, exist_ok=True)
         import datetime as dt
@@ -108,8 +124,15 @@ def main() -> None:
     # is materialized once (the staged-intermediate pattern from
     # pipeline.py) and banding reads it — this entry times the banding
     # join alone; `lsh_band_pairs` still times the self-contained plan
+    import hashlib
+    import inspect
+    sig_code = hashlib.md5(
+        (inspect.getsource(E.q_minhash_signatures)
+         + inspect.getsource(E._shingles)
+         + f"{E.MINHASH_PERMS}:{E._MH_PRIME}").encode()).hexdigest()[:10]
     sig_staging = os.path.join(
-        CACHE_DIR, "minhash_sig_" + sf_dir.strip("/").replace("/", "_"))
+        CACHE_DIR, "minhash_sig_" + sf_dir.strip("/").replace("/", "_")
+        + "_" + sig_code)
 
     def lsh_staged(spark, sf_dir):
         if not os.path.exists(os.path.join(sig_staging, "_SUCCESS")):

@@ -47,6 +47,7 @@ def connected_components(pairs: DataFrame,
     labels = (edges.select(F.col("a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")))
     labels = labels.localCheckpoint()
+    changed = 1
     for _ in range(max_iter):
         # candidate label per node = min(own, min over neighbours')
         neighbour = (edges.join(labels,
@@ -65,6 +66,15 @@ def connected_components(pairs: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # inconsistent labels would leave clusters with ZERO keepers —
+        # a keeper-only filter downstream then silently deletes
+        # documents. Fail loudly instead (code-review r3 finding);
+        # min-label propagation needs O(component diameter) iterations.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations — a component's diameter exceeds max_iter; "
+            f"raise max_iter")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -84,6 +84,23 @@ HOMESTATES_RE = re.compile(r"\b(\d{8})\b")  # 8-digit integer claim ids
 POLICY_PREFIX_BLACKLIST = ("CRWC", "SWC", "TWC")  # policy ids, never claims
 INCIDENT_NAME_RE = re.compile(r"[A-Z][a-z]+,\s+[A-Z][a-z]+"
                               r"|[A-Z][a-z]+\s+[A-Z][a-z]+")
+# capitalized-word pairs that are document labels, not person names —
+# without this, 'Claim Number 540324B' yields employee_name='Claim
+# Number' and a header like 'Loss Run' passes the incident gate
+_NON_NAME_WORDS = frozenset(
+    "claim claims number status policy loss run report date total "
+    "summary converted reference page open closed reopened insured "
+    "analysis paid reserve recovery incurred medical expense".split())
+
+
+def _incident_name(line: str) -> str | None:
+    """First capitalized-pair in the line that isn't made of label
+    words; None when the line has no plausible person name."""
+    for m in INCIDENT_NAME_RE.finditer(line):
+        words = re.split(r"[,\s]+", m.group(0).strip())
+        if all(w.lower() not in _NON_NAME_WORDS for w in words if w):
+            return m.group(0)
+    return None
 LINE_STATUS_RE = re.compile(
     r"\b(OPEN|CLOSED|REOPENED|REOP|OP|CL)\b", re.IGNORECASE)
 LINE_DATE_RE = re.compile(r"\b(\d{4}-\d{2}-\d{2}|\d{2}/\d{2}/\d{4})\b")
@@ -193,7 +210,7 @@ def discover_line_claim(line: str) -> tuple[str, str] | None:
     m = LINE_CLAIM_RE.search(line)
     if m and re.search(r"\d", m.group(1)) and not _is_blacklisted(m.group(1)):
         return m.group(1), "claim_label"
-    if INCIDENT_NAME_RE.search(line) or LINE_DATE_RE.search(line):
+    if _incident_name(line) or LINE_DATE_RE.search(line):
         m = HOMESTATES_RE.search(line)
         if m:
             return m.group(1), "homestates_8digit"
@@ -205,12 +222,19 @@ def repeated_policy_numbers(claims: list[dict]) -> set[str]:
     MULTIPLE different employees (or on every page as a header) is a
     POLICY number, not a claim number. Applied to line-grain discovery
     output only — table rows are structurally one-claim-per-row."""
+    def canon(name: str) -> str:
+        # 'Smith, John' and 'John Smith' are the SAME person — compare
+        # as a sorted token set so surface-form variation across lines
+        # doesn't fake a multi-employee id (code-review r3 finding)
+        toks = [t for t in re.split(r"[,\s.]+", name.lower()) if t]
+        return " ".join(sorted(toks))
+
     names_per_id: dict[str, set[str]] = {}
     for c in claims:
         cid = c.get("claim_number")
         if not cid:
             continue
-        name = (c.get("employee_name") or "").strip().lower()
+        name = canon(c.get("employee_name") or "")
         names_per_id.setdefault(cid, set()).add(name)
     return {cid for cid, names in names_per_id.items()
             if len({n for n in names if n}) > 1}
@@ -282,9 +306,9 @@ def claims_from_lines(text: str) -> list[dict]:
         md = LINE_DATE_RE.search(line)
         if md:
             claim["injury_date_time"] = md.group(1)
-        mn = INCIDENT_NAME_RE.search(line.replace(token, " "))
-        if mn:
-            claim["employee_name"] = mn.group(0)
+        name = _incident_name(line.replace(token, " "))
+        if name:
+            claim["employee_name"] = name
         claims.append(claim)
     dropped = repeated_policy_numbers(claims)
     return [c for c in claims if c["claim_number"] not in dropped]
@@ -385,6 +409,12 @@ def extract_claims(chunk_text: str) -> list[dict]:
         if claims:
             return claims
     claims = claims_from_tables(chunk_text)
+    if not claims:
+        # mixed documents can classify simple_columns (a keyword-bearing
+        # summary line) while the actual claims sit in a
+        # Payments/Reserves grid — try the multirow parser before
+        # falling back to line spotting (code-review r3 finding)
+        claims = claims_from_multirow(chunk_text)
     if not claims:
         claims = claims_from_lines(chunk_text)
     return claims

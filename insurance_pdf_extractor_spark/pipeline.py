@@ -200,6 +200,21 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             claims = claims.join(committed_claims.distinct(), "url",
                                  "left_anti")
         claims.write.mode("append").parquet(claims_path)
+        # layout guard: appending the OTHER layout to an existing docs
+        # table produces a mix Spark cannot read ('Conflicting directory
+        # structures'), which _committed_urls would swallow and silently
+        # disable resume (code-review r3 finding)
+        if committed is not None:
+            existing_partitioned = any(
+                n.startswith("crawl_date=")
+                for n in os.listdir(docs_path))
+            if existing_partitioned != partition_output_by_date:
+                raise ValueError(
+                    f"docs table at {docs_path} is "
+                    f"{'date-partitioned' if existing_partitioned else 'flat'}"
+                    f" but partition_output_by_date="
+                    f"{partition_output_by_date} — appending the other "
+                    f"layout would corrupt the table")
         if partition_output_by_date:
             (docs.withColumn("crawl_date",
                              F.to_date("warc_ts").cast("string"))

@@ -17,8 +17,6 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from insurance_pdf_extractor_spark.dedup import dedup_documents  # noqa: E402
 from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
 
@@ -30,14 +28,7 @@ t0 = time.monotonic()
 import __spark_entry__ as E  # noqa: E402  (signature/banding builders)
 
 docs = spark.read.parquet(docs_path).select("doc_id", "text")
-sh = docs.select("doc_id", F.explode(E._shingles(F.col("text"), 2))
-                 .alias("sh"))
-h = F.md5(F.col("sh"))
-sh = sh.select("doc_id", E._hex32(h, 1).alias("ha"),
-               E._hex32(h, 9).alias("hb"))
-sig = sh.groupBy("doc_id").agg(
-    *[F.min((F.col("ha") + k * F.col("hb")) % E._MH_PRIME)
-       .alias(f"mh{k:02d}") for k in range(E.MINHASH_PERMS)])
+sig = E.minhash_signatures_from_docs(docs)
 sig_path = os.path.join(out_dir, "_signatures")
 sig.write.mode("overwrite").parquet(sig_path)          # staged ONCE
 pairs = E.lsh_pairs_from_signatures(spark.read.parquet(sig_path))

@@ -153,6 +153,11 @@ def main() -> None:
     # mode (SCALING_MODE=thread) keeps the legacy single-JVM local[N].
     mode = os.environ.get("SCALING_MODE", "executors")
     if mode == "executors":
+        if high % low != 0:
+            raise SystemExit(
+                f"executor mode needs high divisible by low "
+                f"(got {low}->{high}); integer truncation would run "
+                f"fewer cores than ideal_speedup assumes")
         spec_low, spec_high = f"1x{low}", f"{high // low}x{low}"
     else:
         spec_low, spec_high = str(low), str(high)
