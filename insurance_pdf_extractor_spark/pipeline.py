@@ -73,17 +73,22 @@ def _committed_urls(spark: SparkSession, path: str) -> DataFrame | None:
     The file listing is snapshotted HERE (DataFrame creation), before any
     same-run append — Iceberg-snapshot-like isolation for the anti-join."""
     try:
-        if os.path.isdir(path):
-            names = os.listdir(path)
-            # flat layout: part files at the top; partitioned layout
-            # (partition_output_by_date): key=value subdirectories
-            if any(n.endswith(".parquet") for n in names) or any(
-                    "=" in n and os.path.isdir(os.path.join(path, n))
-                    for n in names):
-                return spark.read.parquet(path).select("url")
-    except Exception:
-        pass
-    return None
+        if not os.path.isdir(path):
+            return None
+        names = os.listdir(path)
+    except OSError:
+        return None
+    # flat layout: part files at the top; partitioned layout
+    # (partition_output_by_date): key=value subdirectories
+    has_data = any(n.endswith(".parquet") for n in names) or any(
+        "=" in n and os.path.isdir(os.path.join(path, n))
+        for n in names)
+    if not has_data:
+        return None
+    # a table that EXISTS but cannot be read must raise, not be treated
+    # as absent — swallowing the error would silently disable the resume
+    # anti-join and duplicate every committed url on the next run
+    return spark.read.parquet(path).select("url")
 
 
 _LEDGER_SCHEMA = "run_id string, docs_total_after long"
