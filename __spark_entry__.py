@@ -499,6 +499,16 @@ LSH_BANDS = 16          # 16 bands x 4 rows: s-curve threshold ~ (1/16)^(1/4) ~ 
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 SHINGLE_DF_CAP = 20     # shingles in > cap docs are stop-phrases: drop
                         # BEFORE the join (hot-key quadratic blowup at scale)
+BAND_FREQ_CAP = 200     # LSH band buckets with more members than this are
+                        # degenerate (empty/boilerplate pages collapse onto
+                        # one band value on a web corpus) — a bucket of m
+                        # members emits m² candidate rows, so drop hot
+                        # buckets BEFORE the self-join (VERDICT r3 item 1;
+                        # same discipline as SHINGLE_DF_CAP). Members of a
+                        # dropped bucket still pair through their OTHER
+                        # 15 bands unless they collide everywhere — i.e.
+                        # near-exact duplicates, which exact dedup already
+                        # catches upstream.
 _MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
@@ -580,20 +590,47 @@ def q_minhash_signatures(spark, sf):
     return minhash_signatures_from_docs(corpus)
 
 
-def lsh_pairs_from_signatures(sig: DataFrame) -> DataFrame:
-    """Banding + bucket self-join alone, over an EXISTING signature
-    table: 16 bands x 4 rows, join keyed on (band_no, band_hash) —
-    bucketed, never all-pairs. In pipeline use the signature table is
-    persisted/staged ONCE (like pkg/pipeline.py's staged intermediate)
-    and this stage reads it; bench.py times exactly that split."""
+def _lsh_banded(sig: DataFrame) -> DataFrame:
+    """Signature table → stacked (doc_id, band_no, bh) band rows."""
     bands = [
         F.struct(F.lit(b).alias("band_no"),
                  F.md5(F.concat_ws(",", *[
                      F.col(f"mh{b * LSH_ROWS + r:02d}").cast("string")
                      for r in range(LSH_ROWS)])).alias("bh"))
         for b in range(LSH_BANDS)]
-    stacked = sig.select("doc_id",
-                         F.explode(F.array(*bands)).alias("band"))                  .select("doc_id", "band.band_no", "band.bh")
+    return (sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+            .select("doc_id", "band.band_no", "band.bh"))
+
+
+def lsh_band_overflow(sig: DataFrame,
+                      band_cap: int = BAND_FREQ_CAP) -> DataFrame:
+    """Report of DROPPED band buckets: (band_no, bh, members) for every
+    bucket over the cap. A silent cap reads as "covered everything" —
+    pipeline/dedup-job callers log this count next to the pair count."""
+    return (_lsh_banded(sig).groupBy("band_no", "bh")
+            .agg(F.count("*").alias("members"))
+            .where(F.col("members") > band_cap))
+
+
+def lsh_pairs_from_signatures(sig: DataFrame,
+                              band_cap: int = BAND_FREQ_CAP) -> DataFrame:
+    """Banding + bucket self-join alone, over an EXISTING signature
+    table: 16 bands x 4 rows, join keyed on (band_no, band_hash) —
+    bucketed, never all-pairs. In pipeline use the signature table is
+    persisted/staged ONCE (like pkg/pipeline.py's staged intermediate)
+    and this stage reads it; bench.py times exactly that split.
+
+    Hot-bucket guard (VERDICT r3 item 1): buckets with more than
+    ``band_cap`` members are dropped BEFORE the self-join — the window
+    count shuffles on the join key, so the exchange is reused by both
+    self-join sides (one extra shuffle total, same pattern as
+    q_ngram_jaccard_pairs' SHINGLE_DF_CAP). ``lsh_band_overflow``
+    reports what was dropped."""
+    stacked = _lsh_banded(sig)
+    if band_cap is not None:
+        stacked = (stacked.withColumn(
+            "bf", F.count("*").over(Window.partitionBy("band_no", "bh")))
+            .where(F.col("bf") <= band_cap).drop("bf"))
     return (stacked.alias("a")
             .join(stacked.alias("b"), ["band_no", "bh"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -2036,8 +2073,15 @@ def oracle_sql() -> dict[str, str]:
             {_minhash_sig_cte(twins, shingle2)}, sig AS (
               SELECT doc_id, {_minhash_min_exprs()}
               FROM sh GROUP BY doc_id
-            ), bands AS (
+            ), bands_all AS (
               {_lsh_bands_union()}
+            ), bands AS (
+              -- hot-bucket cap, mirroring lsh_pairs_from_signatures
+              SELECT doc_id, band_no, bh FROM (
+                SELECT doc_id, band_no, bh,
+                       count(*) OVER (PARTITION BY band_no, bh) AS bf
+                FROM bands_all)
+              WHERE bf <= {BAND_FREQ_CAP}
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b USING (band_no, bh)

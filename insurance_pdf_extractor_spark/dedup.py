@@ -27,18 +27,35 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame,
                          src: str = "doc_a", dst: str = "doc_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(src, dst) undirected candidate pairs → (doc_id, cluster_id),
     cluster_id = min doc_id reachable (a stable, deterministic label).
 
     Only ids that appear in some pair are returned — callers union the
-    singletons back (see :func:`dedup_documents`)."""
+    singletons back (see :func:`dedup_documents`).
+
+    ``checkpoint_dir``: when set, per-iteration truncation uses a
+    RELIABLE ``checkpoint`` into that directory (any Hadoop-compatible
+    URI) instead of ``localCheckpoint`` — localCheckpoint blocks live in
+    executor memory/disk, so one executor loss kills a 100 TB clustering
+    run mid-iteration (VERDICT r3 item 6). Local default stays
+    localCheckpoint (no checkpoint dir needed for tests/benchmarks)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .unionByName(pairs.select(F.col(dst).alias("a"),
                                        F.col(src).alias("b")))
@@ -46,7 +63,7 @@ def connected_components(pairs: DataFrame,
              .persist())
     labels = (edges.select(F.col("a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")))
-    labels = labels.localCheckpoint()
+    labels = _ckpt(labels)
     changed = 1
     for _ in range(max_iter):
         # candidate label per node = min(own, min over neighbours')
@@ -57,7 +74,7 @@ def connected_components(pairs: DataFrame,
         new_labels = (labels.unionByName(neighbour)
                       .groupBy("doc_id")
                       .agg(F.min("label").alias("label")))
-        new_labels = new_labels.localCheckpoint()
+        new_labels = _ckpt(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .where(F.col("n.label") != F.col("o.label"))
@@ -80,7 +97,8 @@ def connected_components(pairs: DataFrame,
 
 def dedup_documents(docs: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id",
-                    max_iter: int = 20) -> DataFrame:
+                    max_iter: int = 20,
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Full dedup verdict per document: (id, cluster_id, is_keeper).
 
     ``docs``: one row per document (any extra columns pass through is
@@ -90,7 +108,8 @@ def dedup_documents(docs: DataFrame, pairs: DataFrame,
     reference keeps the first-seen record; min-id is the deterministic
     distributed equivalent, matching dedup_exact's keeper_doc_id)."""
     ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
-    comp = connected_components(pairs, max_iter=max_iter)
+    comp = connected_components(pairs, max_iter=max_iter,
+                                checkpoint_dir=checkpoint_dir)
     labelled = (ids.join(comp, "doc_id", "left")
                 .withColumn("cluster_id",
                             F.coalesce("cluster_id", "doc_id")))
@@ -103,9 +122,16 @@ def dedup_documents(docs: DataFrame, pairs: DataFrame,
 # signatures): banded candidate join + exact Hamming filter
 # ---------------------------------------------------------------------------
 
+#: default member cap per simhash band bucket — same rationale as
+#: __spark_entry__.BAND_FREQ_CAP (a bucket of m members emits m²
+#: candidate rows; degenerate web pages collapse onto one band value)
+SIMHASH_BAND_CAP = 200
+
+
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id",
-                       sim_col: str = "simhash") -> DataFrame:
+                       sim_col: str = "simhash",
+                       band_cap: int = SIMHASH_BAND_CAP) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming distance ≤
     ``max_hamming`` over 64-bit simhashes (16 hex chars).
 
@@ -114,7 +140,16 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
     pigeonhole, any pair within Hamming distance 3 shares at least one
     of the 4 bands, so results are EXACT for max_hamming ≤ 3 (the
     useful near-dup range); larger thresholds become approximate.
-    Exact distance is then a native nibble-XOR popcount filter."""
+    Exact distance is then a native nibble-XOR popcount filter.
+
+    Hot-bucket guard (VERDICT r3 item 1): buckets with more than
+    ``band_cap`` members are dropped before the self-join — the window
+    count shuffles on the join key so the exchange is reused by both
+    sides. This narrows the pigeonhole exactness to pairs whose shared
+    band is under the cap; a dropped bucket means ≥ band_cap documents
+    with 16 identical bits, i.e. a degenerate near-identical cloud that
+    exact dedup / a lower-cost representative pass should own instead of
+    a quadratic pair join. Pass ``band_cap=None`` to disable."""
     if max_hamming > 3:
         raise ValueError("banded join is only exact for max_hamming <= 3")
     bands = [F.struct(F.lit(b).alias("band_no"),
@@ -124,6 +159,10 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
                           F.col(sim_col).alias("sh"),
                           F.explode(F.array(*bands)).alias("band"))
                .select("doc_id", "sh", "band.band_no", "band.bv"))
+    if band_cap is not None:
+        stacked = (stacked.withColumn(
+            "bf", F.count("*").over(Window.partitionBy("band_no", "bv")))
+            .where(F.col("bf") <= band_cap).drop("bf"))
     cand = (stacked.alias("a")
             .join(stacked.alias("b"), ["band_no", "bv"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -115,6 +115,86 @@ class TestDedupDocuments:
             assert keepers == [min(members)] and min(members) == cid
 
 
+class TestCheckpointDir:
+    def test_reliable_checkpoint(self, spark, tmp_path):
+        """checkpoint_dir switches localCheckpoint → reliable checkpoint
+        (fault tolerance at cluster scale); results are identical and the
+        directory actually receives checkpoint data."""
+        ckpt = str(tmp_path / "ckpt")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(
+                   pairs, checkpoint_dir=ckpt).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        import os
+        written = [os.path.join(dp, f)
+                   for dp, _, fs in os.walk(ckpt) for f in fs]
+        assert written, "no checkpoint files written to checkpoint_dir"
+
+    def test_dedup_documents_passthrough(self, spark, tmp_path):
+        docs = spark.createDataFrame([(i,) for i in range(1, 5)],
+                                     ["doc_id"])
+        pairs = spark.createDataFrame([(1, 3)], ["doc_a", "doc_b"])
+        rows = {r["doc_id"]: r["is_keeper"] for r in
+                dedup_documents(docs, pairs,
+                                checkpoint_dir=str(tmp_path / "c2"))
+                .collect()}
+        assert rows == {1: True, 2: True, 3: False, 4: True}
+
+
+class TestHotBandCap:
+    """VERDICT r3 item 1: degenerate corpora (many documents collapsing
+    onto identical band values) must not blow up the candidate join
+    quadratically — m members in one bucket emit m² rows uncapped."""
+
+    def _identical_sigs(self, spark, n):
+        import __spark_entry__ as E
+        row = {f"mh{k:02d}": 7 for k in range(E.MINHASH_PERMS)}
+        return spark.createDataFrame(
+            [{"doc_id": i, **row} for i in range(n)])
+
+    def test_lsh_degenerate_corpus_stays_linear(self, spark):
+        """1 000 identical signatures: every band bucket holds 1 000
+        members (> cap) → all dropped → zero candidate pairs instead of
+        ~500 000 × 16 join rows."""
+        import __spark_entry__ as E
+        sig = self._identical_sigs(spark, 1000)
+        assert E.lsh_pairs_from_signatures(sig).count() == 0
+        # the report names what was dropped: 16 buckets of 1 000
+        over = E.lsh_band_overflow(sig).collect()
+        assert len(over) == E.LSH_BANDS
+        assert all(r["members"] == 1000 for r in over)
+
+    def test_lsh_under_cap_unaffected(self, spark):
+        """A small identical group (below the cap) still pairs fully."""
+        import __spark_entry__ as E
+        sig = self._identical_sigs(spark, 5)
+        assert E.lsh_pairs_from_signatures(sig).count() == 10  # C(5,2)
+        assert E.lsh_band_overflow(sig).count() == 0
+
+    def test_lsh_cap_disabled(self, spark):
+        import __spark_entry__ as E
+        sig = self._identical_sigs(spark, 30)
+        assert E.lsh_pairs_from_signatures(
+            sig, band_cap=10).count() == 0
+        assert E.lsh_pairs_from_signatures(
+            sig, band_cap=None).count() == 30 * 29 // 2
+
+    def test_simhash_degenerate_corpus_stays_linear(self, spark):
+        from insurance_pdf_extractor_spark.dedup import simhash_near_pairs
+        sig = spark.createDataFrame(
+            [(i, "0" * 16) for i in range(1000)], ["doc_id", "simhash"])
+        assert simhash_near_pairs(sig).count() == 0
+        # under the cap: full pairing preserved
+        small = spark.createDataFrame(
+            [(i, "0" * 16) for i in range(6)], ["doc_id", "simhash"])
+        assert simhash_near_pairs(small).count() == 15  # C(6,2)
+        # cap off restores the uncapped behaviour
+        assert simhash_near_pairs(
+            sig, band_cap=None).count() == 1000 * 999 // 2
+
+
 class TestSimhashNearPairs:
     def test_exact_within_3_bits(self, spark):
         from insurance_pdf_extractor_spark.dedup import simhash_near_pairs
