@@ -31,8 +31,14 @@ def _gen_fingerprint() -> str:
     import hashlib
 
     from insurance_pdf_extractor_spark import fixtures
-    with open(fixtures.__file__, "rb") as f:
-        return hashlib.md5(f.read()).hexdigest()[:10]
+    from insurance_pdf_extractor_spark.pdf import writer
+    h = hashlib.md5()
+    # fixture bytes depend on BOTH the generator and the PDF writer it
+    # calls (ADVICE r3: a writer change must also invalidate the cache)
+    for mod in (fixtures, writer):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
 
 
 def ensure_fixture_corpus(n_docs: int) -> str:
@@ -128,6 +134,8 @@ def main() -> None:
     import inspect
     sig_code = hashlib.md5(
         (inspect.getsource(E.q_minhash_signatures)
+         + inspect.getsource(E.minhash_signatures_from_docs)
+         + inspect.getsource(E._hex32)
          + inspect.getsource(E._shingles)
          + f"{E.MINHASH_PERMS}:{E._MH_PRIME}").encode()).hexdigest()[:10]
     sig_staging = os.path.join(

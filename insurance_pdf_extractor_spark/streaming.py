@@ -87,7 +87,7 @@ def windowed_counts_stream(spark: SparkSession, landing_dir: str,
 def fold_session_events(ts: list[int],
                         state: tuple[int, int, int] | None,
                         gap_s: int) -> tuple[list[tuple[int, int, int]],
-                                             tuple[int, int, int]]:
+                                             tuple[int, int, int] | None]:
     """Pure per-user session fold: (sorted event seconds, carried state)
     → (closed sessions [(start, end, n_events)], new state).
 
@@ -96,6 +96,11 @@ def fold_session_events(ts: list[int],
     let the next on-time event falsely close the session (ADVICE r2).
     Extracted from the applyInPandasWithState operator so the fold is
     unit-testable without a streaming harness."""
+    if not ts:
+        # unreachable via applyInPandasWithState (groups always carry
+        # rows) but this is a public pure function — an empty batch must
+        # not index ts[0] (ADVICE r3)
+        return [], state
     if state is None:
         start, last, n = ts[0], ts[0] - 1, 0  # sentinel: first row opens
     else:

@@ -305,6 +305,54 @@ class TestDocsWrittenLedger:
         # docs table was reset out-of-band: committed_before must be 0
         assert res.docs_written == 20 and res.docs_delta == 20
 
+    def test_corrupt_ledger_raises(self, spark, web_pages, tmp_path):
+        """A ledger that EXISTS but cannot be read must raise, not
+        silently fall back to the full-table count it exists to avoid
+        (ADVICE r3)."""
+        import pytest
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = str(tmp_path / "out")
+        run_pipeline(spark, web_pages.limit(10), output_dir=out,
+                     run_id="c1")
+        ledger_dir = os.path.join(out, "ledger")
+        for name in os.listdir(ledger_dir):
+            if name.endswith(".parquet"):
+                with open(os.path.join(ledger_dir, name), "wb") as f:
+                    f.write(b"not a parquet file")
+        with pytest.raises(Exception):
+            run_pipeline(spark, web_pages.limit(10), output_dir=out,
+                         run_id="c2")
+
+
+class TestTableProbe:
+    """_read_table_if_exists: Spark-read probing (object-storage-safe),
+    absent vs empty vs corrupt semantics (VERDICT r3 item 8)."""
+
+    def test_absent_path_is_none(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import (
+            _read_table_if_exists)
+        assert _read_table_if_exists(
+            spark, str(tmp_path / "nope")) is None
+
+    def test_empty_dir_is_none(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import (
+            _read_table_if_exists)
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert _read_table_if_exists(spark, str(empty)) is None
+
+    def test_corrupt_table_raises(self, spark, tmp_path):
+        import pytest
+        from insurance_pdf_extractor_spark.pipeline import (
+            _read_table_if_exists)
+        bad = tmp_path / "bad"
+        bad.mkdir()
+        (bad / "part-0000.parquet").write_bytes(b"garbage bytes")
+        with pytest.raises(Exception):
+            df = _read_table_if_exists(spark, str(bad))
+            if df is not None:      # schema read may be lazy — force it
+                df.collect()
+
 
 class TestPartitionedOutput:
     def test_date_partitioned_docs_resume(self, spark, web_pages,

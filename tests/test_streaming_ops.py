@@ -164,6 +164,19 @@ class TestFoldSessionEvents:
         closed, state = fold_session_events([100, 200, 300], None, 1800)
         assert closed == [] and state == (100, 300, 3)
 
+    def test_empty_batch_no_state(self):
+        """ADVICE r3: an empty batch with no carried state must not
+        crash on the ts[0] sentinel."""
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+        assert fold_session_events([], None, 1800) == ([], None)
+
+    def test_empty_batch_carries_state(self):
+        from insurance_pdf_extractor_spark.streaming import (
+            fold_session_events)
+        assert fold_session_events([], (100, 300, 3), 1800) == \
+            ([], (100, 300, 3))
+
     def test_gap_closes_and_carries(self):
         from insurance_pdf_extractor_spark.streaming import (
             fold_session_events)
