@@ -329,14 +329,32 @@ def extract_hybrid(doc: P.PDFDocument) -> tuple[str, list[dict], dict]:
 
 
 # --------------------------------------------------------------------------
-# OCR — T6 (deterministic fake; real engine is a stub)
+# OCR — T6 (deterministic fake in-sandbox; guarded real engine)
 # --------------------------------------------------------------------------
 
-def real_ocr_engine(_page_image: bytes) -> str:  # pragma: no cover - stub
-    """Placeholder for a Tesseract-backed engine (not present here)."""
-    raise NotImplementedError(
-        "No OCR library in this environment; plug a real engine here. "
-        "Fixtures use the deterministic /GraftOCRText fake instead.")
+def real_ocr_engine(page_image: bytes) -> str:
+    """Tesseract-backed recognition over one rendered page image.
+
+    Guarded optional import (VERDICT r3 item 3): when ``pytesseract`` +
+    ``PIL`` exist on the cluster image, this path LIGHTS UP with the
+    reference's exact configuration (backend/ocr_text.py:32-120:
+    ``--oem 3 --psm 1``; the caller renders pages at dpi 300 before
+    handing bytes here). Without the libraries (this sandbox) it raises
+    NotImplementedError and callers use the deterministic
+    ``/GraftOCRText`` fake instead — same code path, swapped engine."""
+    try:
+        import io
+
+        import pytesseract
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - sandbox has no OCR libs
+        raise NotImplementedError(
+            "No OCR library in this environment; install pytesseract + "
+            "Pillow to light up this path. Fixtures use the "
+            "deterministic /GraftOCRText fake instead.") from exc
+    img = Image.open(io.BytesIO(page_image))  # pragma: no cover
+    return pytesseract.image_to_string(       # pragma: no cover
+        img, config="--oem 3 --psm 1")
 
 
 def extract_ocr(doc: P.PDFDocument) -> tuple[str, list[dict]]:

@@ -67,6 +67,62 @@ class TestMultimodal:
         assert fake_features(b"") == (0.0, [0.0] * 16)
 
 
+def _has(mod: str) -> bool:
+    import importlib.util
+    return importlib.util.find_spec(mod) is not None
+
+
+class TestRealEngines:
+    """Guarded real-engine paths (VERDICT r3 item 3): these light up
+    when the cluster image ships the libraries; in this sandbox they
+    are skipped and the NotImplementedError contract is asserted
+    instead (the fakes carry tests/benchmarks)."""
+
+    @pytest.mark.skipif(not _has("PIL"), reason="PIL not installed")
+    def test_real_decode_png(self):
+        from insurance_pdf_extractor_spark.multimodal import decode_media
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("RGB", (7, 5)).save(buf, format="PNG")
+        meta = decode_media(buf.getvalue(), "png")
+        assert meta["width"] == 7 and meta["height"] == 5
+
+    @pytest.mark.skipif(not _has("PIL"), reason="PIL not installed")
+    def test_real_resize(self):
+        from insurance_pdf_extractor_spark.multimodal import resize_media
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 32)).save(buf, format="PNG")
+        out = resize_media(buf.getvalue(), 4, 4)
+        assert len(out) == 4 * 4 * 3  # raw RGB buffer
+
+    @pytest.mark.skipif(not (_has("pytesseract") and _has("PIL")),
+                        reason="pytesseract/PIL not installed")
+    def test_real_ocr(self):
+        from insurance_pdf_extractor_spark.textops import real_ocr_engine
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("RGB", (60, 20), "white").save(buf, format="PNG")
+        assert isinstance(real_ocr_engine(buf.getvalue()), str)
+
+    @pytest.mark.skipif(_has("PIL"), reason="PIL present: real path on")
+    def test_sandbox_contract_raises(self):
+        from insurance_pdf_extractor_spark.multimodal import (
+            decode_media, resize_media, sample_frames)
+        from insurance_pdf_extractor_spark.textops import real_ocr_engine
+        for fn in (lambda: decode_media(b"x", "png"),
+                   lambda: resize_media(b"x", 2, 2),
+                   lambda: real_ocr_engine(b"x")):
+            with pytest.raises(NotImplementedError):
+                fn()
+        if not _has("av"):
+            with pytest.raises(NotImplementedError):
+                sample_frames(b"x", 2)
+
+
 class TestStreamingIngest:
     def test_available_now_resumable(self, spark, fixture_rows, tmp_path):
         from insurance_pdf_extractor_spark.schemas import WEB_PAGES
