@@ -476,48 +476,17 @@ def _corpus_with_twins(spark, sf):
     return docs.unionByName(twin)
 
 
-def _shingles(col, n):
-    words = F.split(col, " ")
-    # guard: sequence(1, stop) with stop < 1 generates a DESCENDING
-    # sequence (→ element_at(words, 0) crash); short docs get no shingles,
-    # matching DuckDB range()'s empty result
-    return F.when(
-        F.size(words) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j)
-                                         for j in range(n)])))
-    ).otherwise(F.array().cast("array<string>"))
+# MinHash/LSH core lives in the package (insurance_pdf_extractor_spark/
+# dedup.py) so the pipeline's opt-in dedup stage and tools/dedup_job.py
+# share the ONE definition; the registry queries and DuckDB oracle
+# builders below consume it from there.
+from insurance_pdf_extractor_spark.dedup import (  # noqa: E402
+    BAND_FREQ_CAP, LSH_BANDS, LSH_ROWS, MINHASH_PERMS, _MH_PRIME, _hex32,
+    lsh_band_overflow, lsh_pairs_from_signatures,
+    minhash_signatures_from_docs, shingles as _shingles)
 
-
-# Production-sized dedup parameters (VERDICT r1 item 4): 128-perm-class
-# MinHash via the standard (a + k*b) mod p family over ONE md5 per shingle
-# (one hash + 64 integer ops, not 64 md5s), 16 bands x 4 rows banding,
-# document-frequency cap on shingles before any self-join, 64-bit SimHash.
-MINHASH_PERMS = 64
-LSH_BANDS = 16          # 16 bands x 4 rows: s-curve threshold ~ (1/16)^(1/4) ~ 0.5
-LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 SHINGLE_DF_CAP = 20     # shingles in > cap docs are stop-phrases: drop
                         # BEFORE the join (hot-key quadratic blowup at scale)
-BAND_FREQ_CAP = 200     # LSH band buckets with more members than this are
-                        # degenerate (empty/boilerplate pages collapse onto
-                        # one band value on a web corpus) — a bucket of m
-                        # members emits m² candidate rows, so drop hot
-                        # buckets BEFORE the self-join (VERDICT r3 item 1;
-                        # same discipline as SHINGLE_DF_CAP). Members of a
-                        # dropped bucket still pair through their OTHER
-                        # 15 bands unless they collide everywhere — i.e.
-                        # near-exact duplicates, which exact dedup already
-                        # catches upstream.
-_MH_PRIME = 4294967311  # smallest prime > 2^32
-
-
-def _hex32(h, offset):
-    """Parse 8 hex chars of an md5 column (1-based offset) to a long.
-    Spark side uses native conv() (JVM, one call); the DuckDB oracle twin
-    (_hex32_sql) does per-char ascii arithmetic — same value, DuckDB just
-    has no conv()."""
-    return F.conv(F.substring(h, offset, 8), 16, 10).cast("long")
 
 
 def _hex32_sql(col, offset):
@@ -564,79 +533,12 @@ def q_ngram_jaccard_pairs(spark, sf):
     return out
 
 
-def minhash_signatures_from_docs(docs: DataFrame,
-                                 shingle_n: int = 2) -> DataFrame:
-    """(doc_id, text) → 64-permutation MinHash signature table: one md5
-    per shingle split into two 32-bit halves (a, b); permutation k is
-    min((a + k*b) mod p). Columns mh00..mh63. The ONE definition of the
-    signature stage — the oracle query and tools/dedup_job.py both call
-    it (code-review r3: a silently-diverging copy defeats the gate)."""
-    sh = docs.select("doc_id",
-                     F.explode(_shingles(F.col("text"), shingle_n))
-                      .alias("sh"))
-    h = F.md5(F.col("sh"))
-    sh = sh.select("doc_id", _hex32(h, 1).alias("ha"),
-                   _hex32(h, 9).alias("hb"))
-    aggs = [F.min((F.col("ha") + k * F.col("hb")) % _MH_PRIME)
-             .alias(f"mh{k:02d}") for k in range(MINHASH_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs)
-
-
 def q_minhash_signatures(spark, sf):
     """64-perm MinHash over the twin corpus; banding in
     q_lsh_band_pairs groups the columns 4-per-band."""
     corpus = _corpus_with_twins(spark, sf).where(
         (F.col("doc_id") % 1000) < 50)
     return minhash_signatures_from_docs(corpus)
-
-
-def _lsh_banded(sig: DataFrame) -> DataFrame:
-    """Signature table → stacked (doc_id, band_no, bh) band rows."""
-    bands = [
-        F.struct(F.lit(b).alias("band_no"),
-                 F.md5(F.concat_ws(",", *[
-                     F.col(f"mh{b * LSH_ROWS + r:02d}").cast("string")
-                     for r in range(LSH_ROWS)])).alias("bh"))
-        for b in range(LSH_BANDS)]
-    return (sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
-            .select("doc_id", "band.band_no", "band.bh"))
-
-
-def lsh_band_overflow(sig: DataFrame,
-                      band_cap: int = BAND_FREQ_CAP) -> DataFrame:
-    """Report of DROPPED band buckets: (band_no, bh, members) for every
-    bucket over the cap. A silent cap reads as "covered everything" —
-    pipeline/dedup-job callers log this count next to the pair count."""
-    return (_lsh_banded(sig).groupBy("band_no", "bh")
-            .agg(F.count("*").alias("members"))
-            .where(F.col("members") > band_cap))
-
-
-def lsh_pairs_from_signatures(sig: DataFrame,
-                              band_cap: int = BAND_FREQ_CAP) -> DataFrame:
-    """Banding + bucket self-join alone, over an EXISTING signature
-    table: 16 bands x 4 rows, join keyed on (band_no, band_hash) —
-    bucketed, never all-pairs. In pipeline use the signature table is
-    persisted/staged ONCE (like pkg/pipeline.py's staged intermediate)
-    and this stage reads it; bench.py times exactly that split.
-
-    Hot-bucket guard (VERDICT r3 item 1): buckets with more than
-    ``band_cap`` members are dropped BEFORE the self-join — the window
-    count shuffles on the join key, so the exchange is reused by both
-    self-join sides (one extra shuffle total, same pattern as
-    q_ngram_jaccard_pairs' SHINGLE_DF_CAP). ``lsh_band_overflow``
-    reports what was dropped."""
-    stacked = _lsh_banded(sig)
-    if band_cap is not None:
-        stacked = (stacked.withColumn(
-            "bf", F.count("*").over(Window.partitionBy("band_no", "bh")))
-            .where(F.col("bf") <= band_cap).drop("bf"))
-    return (stacked.alias("a")
-            .join(stacked.alias("b"), ["band_no", "bh"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
 
 
 def q_lsh_band_pairs(spark, sf):
@@ -646,11 +548,11 @@ def q_lsh_band_pairs(spark, sf):
     return lsh_pairs_from_signatures(q_minhash_signatures(spark, sf))
 
 
-def q_simhash64(spark, sf):
-    """64-bit SimHash (VERDICT r1: 16-bit collides at corpus scale):
-    64 bit-votes from two md5s per token, emitted as a 16-hex-char
-    fingerprint string (BIGINT would overflow at bit 63)."""
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+def simhash64_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → 64-bit SimHash signature table (16-hex-char
+    fingerprint — BIGINT would overflow at bit 63): 64 bit-votes from
+    two md5s per distinct token. One definition shared by the registry
+    query and the bench's full-corpus signature staging."""
     w = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
@@ -671,6 +573,12 @@ def q_simhash64(spark, sf):
             val = val * 2 + bit
         nibbles.append(F.substring(F.lit("0123456789abcdef"), val + 1, 1))
     return agg.select("doc_id", F.concat(*nibbles).alias("simhash"))
+
+
+def q_simhash64(spark, sf):
+    """64-bit SimHash (VERDICT r1: 16-bit collides at corpus scale)."""
+    return simhash64_from_docs(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 100))
 
 
 # --- embeddings: similarity search ------------------------------------------

@@ -44,6 +44,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import (dedup_documents, lsh_band_overflow,
+                    lsh_pairs_from_signatures, minhash_signatures_from_docs)
 from .lineage import read_metrics, split_metrics
 from .operators.finalize import finalize
 from .operators.fused import tokenize_and_extract
@@ -66,6 +68,30 @@ class PipelineResult:
         """Release the pinned intermediate (no-output runs only)."""
         if self.cached is not None:
             self.cached.unpersist()
+
+
+def _dedup_keepers(docs: DataFrame,
+                   sig_staging: str | None) -> tuple[DataFrame, DataFrame]:
+    """(keeper urls, dropped-band-overflow report) for the opt-in
+    minhash-lsh dedup stage: signatures → staged banding → connected
+    components → keeper election (min url per cluster, deterministic).
+
+    Scope: dedup runs WITHIN the current run's delta (new urls only) —
+    already-committed docs are not re-clustered; cross-run dedup over
+    the full committed table is tools/dedup_job.py's job. At cluster
+    scale the signature table is the staged intermediate (one write,
+    read by both self-join sides); without an output dir the docs
+    input is already the pipeline's pinned intermediate."""
+    keyed = docs.select(F.col("url").alias("doc_id"), "text")
+    sig = minhash_signatures_from_docs(keyed)
+    if sig_staging is not None:
+        sig.write.mode("overwrite").parquet(sig_staging)
+        sig = keyed.sparkSession.read.parquet(sig_staging)
+    pairs = lsh_pairs_from_signatures(sig)
+    verdict = dedup_documents(keyed.select("doc_id"), pairs)
+    keepers = (verdict.where(F.col("is_keeper"))
+               .select(F.col("doc_id").alias("url")))
+    return keepers, lsh_band_overflow(sig)
 
 
 #: error conditions meaning "no table here" (vs corrupt-table errors,
@@ -131,12 +157,30 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  resume: bool = True,
                  repartition: str = "auto",
                  cache_intermediate: bool = True,
-                 partition_output_by_date: bool = False) -> PipelineResult:
+                 partition_output_by_date: bool = False,
+                 dedup: str | None = None) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
     output_dir: if set, writes ``claims/`` + ``docs/`` parquet (append)
     and a Spark-written ``metrics/`` lineage table; re-runs anti-join
     committed urls first (idempotent — north_rule resumability).
+
+    dedup: ``None`` (default — output unchanged) or ``"minhash-lsh"``:
+    an opt-in stage between finalize and the output appends that routes
+    the extracted docs through MinHash signatures → staged LSH banding →
+    connected-components keeper election, then keeps only keeper urls in
+    BOTH the docs and claims outputs (a dropped duplicate contributes no
+    claims either). Emits ``stage='dedup'`` lineage rows (doc_count =
+    keepers, fail_count = duplicates removed) plus a
+    ``dedup_bands_dropped`` row reporting hot band buckets the
+    candidate join capped. Dedup scope is this run's delta — cross-run
+    dedup over the committed table is tools/dedup_job.py. Corollary:
+    a url dropped as a duplicate is NOT recorded as committed, so a
+    later resume run that re-offers it (without its keeper in the same
+    delta) will keep it — re-feeding identical input with dedup on is
+    therefore not idempotent across runs; dedup-before-commit is a
+    per-batch filter, not a global constraint (that needs the committed
+    signature table, i.e. the standalone job).
 
     partition_output_by_date: partition the docs table by
     ``crawl_date = date(warc_ts)`` — the 100 TB layout (an Iceberg
@@ -203,6 +247,30 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         metrics_delta.write.mode("append").parquet(metrics_path)
 
         claims, docs = finalize(fields)
+        docs_delta = None
+        if dedup is not None:
+            if dedup != "minhash-lsh":
+                raise ValueError(f"unknown dedup strategy {dedup!r} "
+                                 "(supported: 'minhash-lsh')")
+            t_dd = time.monotonic()
+            keepers, overflow = _dedup_keepers(
+                docs, os.path.join(output_dir, "_staging",
+                                   run_id + "_sig"))
+            n_in = fields.count()           # footer-metadata-only count
+            n_keep = keepers.count()
+            n_dropped_buckets = overflow.count()
+            docs = docs.join(keepers, "url", "left_semi")
+            claims = claims.join(keepers, "url", "left_semi")
+            docs_delta = n_keep
+            dd_ms = int((time.monotonic() - t_dd) * 1000)
+            spark.createDataFrame(
+                [(run_id, "dedup", -1, n_keep, 0, n_in - n_keep, dd_ms, 0),
+                 (run_id, "dedup_bands_dropped", -1, n_dropped_buckets,
+                  0, 0, 0, 0)],
+                "run_id string, stage string, partition_id int, "
+                "doc_count long, bytes long, fail_count long, "
+                "wall_ms long, attempt int"
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
         # idempotent claims append: a crash after the claims append but
         # before the docs append leaves claims committed for urls the
         # resume anti-join will re-process — skip those urls' claims
@@ -235,12 +303,14 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         else:
             docs.write.mode("append").parquet(docs_path)
         # delta = this run's staged rows (column-pruned count of the
-        # small staged delta); cumulative = committed-before + delta —
-        # exact in every crash-resume scenario (a metrics-ledger sum
-        # would double-count deltas whose metrics committed but whose
-        # docs append crashed), and never a DATA rescan of the committed
+        # small staged delta), or the keeper count when dedup filtered
+        # the delta; cumulative = committed-before + delta — exact in
+        # every crash-resume scenario (a metrics-ledger sum would
+        # double-count deltas whose metrics committed but whose docs
+        # append crashed), and never a DATA rescan of the committed
         # table (the count above is footer-metadata-only)
-        docs_delta = fields.count()
+        if docs_delta is None:
+            docs_delta = fields.count()
         # ledger append LAST (after the docs commit marker): one tiny row
         # recording the cumulative docs-table size — the next run's
         # committed_before reads max() of this file instead of listing
@@ -268,5 +338,12 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     if cache_intermediate:
         fields_df = cached = fields_df.persist()
     claims, docs = finalize(fields_df)
+    if dedup is not None:
+        if dedup != "minhash-lsh":
+            raise ValueError(f"unknown dedup strategy {dedup!r} "
+                             "(supported: 'minhash-lsh')")
+        keepers, _ = _dedup_keepers(docs, None)
+        docs = docs.join(keepers, "url", "left_semi")
+        claims = claims.join(keepers, "url", "left_semi")
     return PipelineResult(run_id, docs, claims, None, 0,
                           time.monotonic() - t0, cached=cached)

@@ -383,3 +383,85 @@ class TestPartitionedOutput:
                            partition_output_by_date=True)
         assert res.docs_delta == 0 and res.docs_written == n
         assert spark.read.parquet(docs_dir).count() == n
+
+
+class TestPipelineDedupStage:
+    """Opt-in dedup=minhash-lsh between finalize and the output appends
+    (VERDICT r3 item 5). Off by default — the flagship oracle rows are
+    untouched; on, keeper counts must match the standalone LSH twin."""
+
+    def _doubled(self, spark, web_pages):
+        """Corpus where every doc has a same-content twin url."""
+        twin = web_pages.withColumn(
+            "url", F.concat(F.col("url"), F.lit("?dup")))
+        return web_pages.unionByName(twin)
+
+    def test_keeper_filter_matches_lsh_twin(self, spark, web_pages,
+                                            tmp_path):
+        from insurance_pdf_extractor_spark.dedup import (
+            dedup_documents, lsh_pairs_from_signatures,
+            minhash_signatures_from_docs)
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        doubled = self._doubled(spark, web_pages.limit(24))
+        out = str(tmp_path / "out")
+        res = run_pipeline(spark, doubled, output_dir=out, run_id="dd1",
+                           dedup="minhash-lsh")
+        got_urls = {r["url"] for r in res.docs.select("url").collect()}
+
+        # standalone twin over the UNdeduped extraction of the same corpus
+        base = run_pipeline(spark, doubled, output_dir=None, resume=False)
+        keyed = base.docs.select(F.col("url").alias("doc_id"), "text")
+        pairs = lsh_pairs_from_signatures(
+            minhash_signatures_from_docs(keyed))
+        verdict = dedup_documents(keyed.select("doc_id"), pairs)
+        want_urls = {r["doc_id"] for r in
+                     verdict.where("is_keeper").collect()}
+        base.unpersist()
+        assert got_urls == want_urls
+        # twins genuinely deduped: fewer kept than offered
+        assert len(got_urls) < doubled.count()
+        assert res.docs_written == len(got_urls)
+        # ledger agrees with the physical table
+        ledger = spark.read.parquet(os.path.join(out, "ledger"))
+        assert (ledger.agg(F.max("docs_total_after")).first()[0]
+                == res.docs.count() == len(got_urls))
+
+    def test_claims_follow_keepers_and_lineage_rows(self, spark,
+                                                    web_pages, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        doubled = self._doubled(spark, web_pages.limit(24))
+        out = str(tmp_path / "out")
+        res = run_pipeline(spark, doubled, output_dir=out, run_id="dd2",
+                           dedup="minhash-lsh")
+        doc_urls = {r["url"] for r in res.docs.select("url").collect()}
+        claim_urls = {r["url"] for r in
+                      res.claims.select("url").distinct().collect()}
+        assert claim_urls <= doc_urls  # no claims for dropped dups
+        m = {r["stage"]: r for r in res.metrics.collect()}
+        assert "dedup" in m and "dedup_bands_dropped" in m
+        assert m["dedup"]["doc_count"] == len(doc_urls)
+        assert (m["dedup"]["doc_count"] + m["dedup"]["fail_count"]
+                == doubled.count())
+
+    def test_dedup_off_by_default(self, spark, web_pages, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        doubled = self._doubled(spark, web_pages.limit(12))
+        res = run_pipeline(spark, doubled,
+                           output_dir=str(tmp_path / "out"), run_id="dd3")
+        assert res.docs.count() == doubled.count()  # nothing dropped
+
+    def test_unknown_strategy_raises(self, spark, web_pages, tmp_path):
+        import pytest
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        with pytest.raises(ValueError):
+            run_pipeline(spark, web_pages.limit(2),
+                         output_dir=str(tmp_path / "out"),
+                         dedup="bogus")
+
+    def test_no_output_mode_filters_too(self, spark, web_pages):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        doubled = self._doubled(spark, web_pages.limit(12))
+        res = run_pipeline(spark, doubled, output_dir=None, resume=False,
+                           dedup="minhash-lsh")
+        assert res.docs.count() < doubled.count()
+        res.unpersist()

@@ -17,7 +17,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-from insurance_pdf_extractor_spark.dedup import dedup_documents  # noqa: E402
+from insurance_pdf_extractor_spark.dedup import (  # noqa: E402
+    dedup_documents, lsh_band_overflow, lsh_pairs_from_signatures,
+    minhash_signatures_from_docs)
 from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
 
 docs_path, out_dir = sys.argv[1], sys.argv[2]
@@ -25,20 +27,23 @@ spark = get_spark(app_name="dedup-job")
 spark.sparkContext.setLogLevel("ERROR")
 t0 = time.monotonic()
 
-import __spark_entry__ as E  # noqa: E402  (signature/banding builders)
-
 docs = spark.read.parquet(docs_path).select("doc_id", "text")
-sig = E.minhash_signatures_from_docs(docs)
+sig = minhash_signatures_from_docs(docs)
 sig_path = os.path.join(out_dir, "_signatures")
 sig.write.mode("overwrite").parquet(sig_path)          # staged ONCE
-pairs = E.lsh_pairs_from_signatures(spark.read.parquet(sig_path))
+sig = spark.read.parquet(sig_path)
+pairs = lsh_pairs_from_signatures(sig)
 verdict = dedup_documents(docs.select("doc_id"), pairs)
 verdict.write.mode("overwrite").parquet(os.path.join(out_dir, "verdict"))
 
 v = spark.read.parquet(os.path.join(out_dir, "verdict"))
 n_docs = v.count()
 n_keep = v.where("is_keeper").count()
+# hot band buckets the candidate join capped (silent caps read as
+# "covered everything" — report what was dropped)
+n_hot = lsh_band_overflow(sig).count()
 print(json.dumps({"docs": n_docs, "keepers": n_keep,
                   "dupes_removed": n_docs - n_keep,
+                  "hot_bands_dropped": n_hot,
                   "sec": round(time.monotonic() - t0, 1)}))
 spark.stop()
