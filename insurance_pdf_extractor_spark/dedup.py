@@ -325,18 +325,17 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
                     F.col("a.sh").alias("sha"),
                     F.col("b.sh").alias("shb"))
             .distinct())
-    # popcount(a xor b) nibble-wise: conv each hex char to int, xor,
-    # look up bit count via a when-chain (native, codegen-friendly)
-    ham = F.lit(0)
-    for i in range(1, 17):
-        xa = F.conv(F.substring("sha", i, 1), 16, 10).cast("int")
-        xb = F.conv(F.substring("shb", i, 1), 16, 10).cast("int")
-        x = xa.bitwiseXOR(xb)
-        pc = (x.bitwiseAND(F.lit(1))
-              + F.shiftright(x, 1).bitwiseAND(F.lit(1))
-              + F.shiftright(x, 2).bitwiseAND(F.lit(1))
-              + F.shiftright(x, 3).bitwiseAND(F.lit(1)))
-        ham = ham + pc
+    # popcount(a xor b) via native bit_count over two 32-bit halves
+    # (parsing all 16 hex chars in ONE conv would read as unsigned
+    # 64-bit and null out on cast for values ≥ 2^63). Two expressions,
+    # not the 64-term nibble when-chain this replaced — the candidate
+    # filter is the hot inner loop of the pairing stage.
+    ham = None
+    for off in (1, 9):
+        xa = F.conv(F.substring("sha", off, 8), 16, 10).cast("long")
+        xb = F.conv(F.substring("shb", off, 8), 16, 10).cast("long")
+        pc = F.bit_count(xa.bitwiseXOR(xb))
+        ham = pc if ham is None else ham + pc
     return (cand.withColumn("hamming", ham.cast("int"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))

@@ -70,19 +70,29 @@ class PipelineResult:
             self.cached.unpersist()
 
 
-def _dedup_keepers(docs: DataFrame,
+def _dedup_keepers(fields: DataFrame,
                    sig_staging: str | None) -> tuple[DataFrame, DataFrame]:
     """(keeper urls, dropped-band-overflow report) for the opt-in
     minhash-lsh dedup stage: signatures → staged banding → connected
     components → keeper election (min url per cluster, deterministic).
 
+    ``fields`` is the post-UDF intermediate, NOT the finalize docs view:
+    both carry the same (url, text), but the docs view drags finalize's
+    per-doc claim-aggregation joins into every dedup branch (signature
+    build, cluster ids, keeper join) — reading the 2-column projection
+    straight off the staged intermediate keeps those branches at scan
+    cost.
+
     Scope: dedup runs WITHIN the current run's delta (new urls only) —
     already-committed docs are not re-clustered; cross-run dedup over
     the full committed table is tools/dedup_job.py's job. At cluster
     scale the signature table is the staged intermediate (one write,
-    read by both self-join sides); without an output dir the docs
-    input is already the pipeline's pinned intermediate."""
-    keyed = docs.select(F.col("url").alias("doc_id"), "text")
+    read by both self-join sides); without an output dir the keyed
+    projection is localCheckpointed instead (GC-managed — no cache-slot
+    leak to track in PipelineResult)."""
+    keyed = fields.select(F.col("url").alias("doc_id"), "text")
+    if sig_staging is None:
+        keyed = keyed.localCheckpoint()
     sig = minhash_signatures_from_docs(keyed)
     if sig_staging is not None:
         sig.write.mode("overwrite").parquet(sig_staging)
@@ -254,8 +264,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                                  "(supported: 'minhash-lsh')")
             t_dd = time.monotonic()
             keepers, overflow = _dedup_keepers(
-                docs, os.path.join(output_dir, "_staging",
-                                   run_id + "_sig"))
+                fields, os.path.join(output_dir, "_staging",
+                                     run_id + "_sig"))
             n_in = fields.count()           # footer-metadata-only count
             n_keep = keepers.count()
             n_dropped_buckets = overflow.count()
@@ -342,7 +352,7 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         if dedup != "minhash-lsh":
             raise ValueError(f"unknown dedup strategy {dedup!r} "
                              "(supported: 'minhash-lsh')")
-        keepers, _ = _dedup_keepers(docs, None)
+        keepers, _ = _dedup_keepers(fields_df, None)
         docs = docs.join(keepers, "url", "left_semi")
         claims = claims.join(keepers, "url", "left_semi")
     return PipelineResult(run_id, docs, claims, None, 0,
