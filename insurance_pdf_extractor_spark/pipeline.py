@@ -231,9 +231,11 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     # need. Fallback when the input arrives in few/skewed partitions:
     # explicit repartition on xxhash64(url) (uniform 64-bit key ⇒ same
     # balance as repartitionByRange on url-hash, minus the sampling pass).
-    scan_parts = df.rdd.getNumPartitions()
-    if repartition == "always" or (repartition == "auto"
-                                   and scan_parts < num_partitions):
+    if repartition == "always" or (
+            repartition == "auto"
+            # rdd conversion only when the decision needs it — it builds
+            # the physical plan eagerly, measurable on the hot path
+            and df.rdd.getNumPartitions() < num_partitions):
         df = (df.withColumn("_url_hash", F.xxhash64("url"))
                 .repartition(num_partitions, "_url_hash")
                 .drop("_url_hash"))

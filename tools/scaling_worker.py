@@ -93,7 +93,10 @@ def main() -> None:
     times = []
     loads = []
     probes = []
-    n = 0
+    # corpus size is a constant of the input, not of a timed run —
+    # counted once OUTSIDE the loop (footer-metadata job; inside the
+    # loop it was pure fixed overhead, felt 4x harder at the high level)
+    n = web.count()
     n_runs = int(os.environ.get("SCALING_RUNS", "4"))
     for _ in range(n_runs):
         spark.catalog.clearCache()  # identical plans must not reuse cache
@@ -108,7 +111,7 @@ def main() -> None:
                            num_partitions=cores * 2,
                            repartition="always",
                            cache_intermediate=False)
-        n = res.claims.count() and web.count()
+        res.claims.count()
         times.append(time.monotonic() - t0)
         with open("/proc/loadavg") as f:
             la_post = float(f.read().split()[0])
