@@ -91,16 +91,42 @@ def run_level(spec: str, cores: int, n_docs: int) -> dict:
     raise RuntimeError(f"worker {cores} failed:\n{out.stderr[-2000:]}")
 
 
+# The calibration runs the ACTUAL per-document extraction function
+# (pure Python, zero Spark) in N pinned processes: the hardware ceiling
+# that matters is the one for THIS workload's instruction/memory mix,
+# and an integer busy-loop understates 32-core contention for the
+# string/regex/parse-heavy extraction path (measured on this host:
+# int-loop per-core ceiling 0.70-0.88 across windows, regex/string
+# ~0.81, md5-over-1MB ~0.96 — the workload matters). Every process
+# cycles the same 24-doc fixture mix, so both levels calibrate on
+# identical work.
 _BURN = '''
 import multiprocessing as mp, time, sys
+sys.path.insert(0, %(root)r)
+def _kind0(html, text):
+    if html is None and text is not None: return "text"
+    if not html: return "empty"
+    if html[:5] == b"%%PDF-": return "pdf"
+    head = html[:1024].lower()
+    if b"<html" in head or b"<!doctype html" in head: return "html"
+    return "other"
 def burn(_):
+    from insurance_pdf_extractor_spark.fixtures import generate_rows
+    from insurance_pdf_extractor_spark.operators.tokenize import _extract_one
+    rows = generate_rows(24, seed=11)
+    docs = [(_kind0(r["html"], r["text"]), r["html"], r["text"])
+            for r in rows]
+    for k, h, t in docs:
+        _extract_one(k, h, t)          # warm pass: imports + parser setup
     t0 = time.monotonic(); n = 0
     while time.monotonic() - t0 < 3.0:
-        sum(i * i for i in range(1000)); n += 1
-    return n
+        k, h, t = docs[n %% len(docs)]
+        _extract_one(k, h, t)
+        n += 1
+    return n / (time.monotonic() - t0)
 procs = int(sys.argv[1])
 with mp.Pool(procs) as p:
-    print(sum(p.map(burn, range(procs))) / 3.0)
+    print(sum(p.map(burn, range(procs))) / procs)
 '''
 
 
@@ -130,18 +156,21 @@ def wait_quiet(max_wait: float | None = None,
 
 
 def calibrate(cores: int) -> float:
-    """Per-core pure-Python throughput with `cores` pinned CPUs active.
+    """Per-core pure-Python EXTRACTION throughput (docs/s/core) with
+    `cores` pinned CPUs active — the workload-matched hardware ceiling.
 
-    All-cores-active turbo/host effects slow every CPU-bound workload on
-    this box; this measures that hardware ceiling so the pipeline's
-    scaling efficiency can be reported both raw and normalized.
+    All-cores-active turbo/memory-bandwidth effects slow this box's
+    CPU-bound work; running the real per-doc extraction (no Spark, no
+    IPC) at both widths measures exactly how much of that is hardware,
+    so the pipeline's efficiency can be reported raw AND normalized.
+    The mean already divides by `procs` inside the script.
     """
-    cmd = [sys.executable, "-c", _BURN, str(cores)]
+    cmd = [sys.executable, "-c", _BURN % {"root": ROOT}, str(cores)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=120,
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=180,
                          check=True)
-    return float(out.stdout.strip()) / cores
+    return float(out.stdout.strip())
 
 
 def main() -> None:
@@ -204,8 +233,8 @@ def main() -> None:
               "ideal_speedup": high / low,
               "scaling_efficiency": round(efficiency, 3),
               "hw_percore_ceiling": round(hw_ceiling, 3),
-              "calib_percore_loops_low": round(cal_low, 1),
-              "calib_percore_loops_high": round(cal_high, 1),
+              "calib_percore_docs_per_sec_low": round(cal_low, 1),
+              "calib_percore_docs_per_sec_high": round(cal_high, 1),
               "calib_per_pass": [[round(c[0], 1), round(c[1], 1)]
                                  for c in cals],
               "scaling_efficiency_hw_normalized":

@@ -79,10 +79,10 @@ def main() -> None:
     # container). Per-run loadavg samples ship in the artifact so
     # contaminated runs are visible.
     def _probe_loops(sec: float = 0.5) -> float:
-        """Single-core busy-loop rate (loops/s, same units as the
-        bench's calibration): neighbor pressure on the shared host shows
-        as a depressed probe even when loadavg (which our own runs
-        dominate) says nothing."""
+        """Single-core busy-loop rate (loops/s — a relative noise probe,
+        distinct from the bench's workload-matched calibration): neighbor
+        pressure on the shared host shows as a depressed probe even when
+        loadavg (which our own runs dominate) says nothing."""
         t0 = time.monotonic()
         n_loops = 0
         while time.monotonic() - t0 < sec:
