@@ -130,6 +130,39 @@ class TestLazyBuilders:
                 sc.setJobGroup("", "")
 
 
+class TestR4OperatorPlans:
+    def test_lsh_capped_join_reuses_exchange(self, spark):
+        """The hot-band cap's window count shuffles on the SAME key as
+        the candidate self-join, so both self-join sides reuse one
+        exchange — the cap must not add a second scan/shuffle chain of
+        the signature table (VERDICT r3 item 1 'plan showing the capped
+        join')."""
+        import __spark_entry__ as E
+        sig = spark.createDataFrame(
+            [{"doc_id": i,
+              **{f"mh{k:02d}": (i * 31 + k) % 97
+                 for k in range(E.MINHASH_PERMS)}} for i in range(8)])
+        plan = _plan(E.lsh_pairs_from_signatures(sig))
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan          # the cap's frequency count
+        # both self-join sides read the SAME windowed exchange
+        assert ("ReusedExchange" in plan
+                or plan.count("LocalTableScan") <= 1)
+
+    def test_kmeans_assign_broadcasts_centroids(self, spark):
+        from insurance_pdf_extractor_spark.ann import (assign_buckets,
+                                                       kmeans_train)
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents, _ = kmeans_train(emb, k=4, max_iter=2)
+        plan = _plan(assign_buckets(emb, cents))
+        # n x k assignment joins against the broadcast centroid table —
+        # never a shuffled join of the vector table
+        assert ("BroadcastNestedLoopJoin" in plan
+                or "BroadcastHashJoin" in plan)
+        assert "SortMergeJoin" not in plan
+        assert "EvalPython" not in plan  # distance stays native
+
+
 class TestR3OperatorPlans:
     def test_simhash_pairs_no_cartesian(self, spark):
         from insurance_pdf_extractor_spark.dedup import simhash_near_pairs
