@@ -44,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import (dedup_documents, lsh_band_overflow,
+from .dedup import (_lsh_banded, dedup_documents, lsh_band_overflow,
                     lsh_pairs_from_signatures, minhash_signatures_from_docs)
 from .lineage import read_metrics, split_metrics
 from .operators.finalize import finalize
@@ -71,7 +71,9 @@ class PipelineResult:
 
 
 def _dedup_keepers(fields: DataFrame,
-                   sig_staging: str | None) -> tuple[DataFrame, DataFrame]:
+                   sig_staging: str | None,
+                   committed_sig: DataFrame | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
     """(keeper urls, dropped-band-overflow report) for the opt-in
     minhash-lsh dedup stage: signatures → staged banding → connected
     components → keeper election (min url per cluster, deterministic).
@@ -99,6 +101,32 @@ def _dedup_keepers(fields: DataFrame,
         sig = keyed.sparkSession.read.parquet(sig_staging)
     pairs = lsh_pairs_from_signatures(sig)
     verdict = dedup_documents(keyed.select("doc_id"), pairs)
+    if committed_sig is not None:
+        # CROSS-RUN dedup: a delta doc sharing an LSH band bucket with
+        # any ALREADY-COMMITTED signature is a near-dup of history — its
+        # whole within-delta cluster maps onto the committed keeper, so
+        # every member drops (cluster = connected component; one member
+        # touching a committed doc connects the component to it). A
+        # left-semi band join cannot blow up quadratically (existence
+        # only); same-url self-collisions are excluded so non-resume
+        # reprocessing of identical input doesn't erase the delta. At
+        # the 10^12-doc tier, store the signature table bucketed by
+        # (band_no, bh) so this probe is a bucket-pruned join rather
+        # than a full re-banding shuffle.
+        delta_bands = _lsh_banded(sig)
+        comm_bands = (_lsh_banded(committed_sig)
+                      .withColumnRenamed("doc_id", "c_doc_id"))
+        collided = (delta_bands.alias("d")
+                    .join(comm_bands.alias("c"),
+                          [F.col("d.band_no") == F.col("c.band_no"),
+                           F.col("d.bh") == F.col("c.bh"),
+                           F.col("d.doc_id") != F.col("c.c_doc_id")],
+                          "left_semi")
+                    .select("doc_id").distinct())
+        dropped_clusters = (verdict.join(collided, "doc_id", "left_semi")
+                            .select("cluster_id").distinct())
+        verdict = verdict.join(dropped_clusters, "cluster_id",
+                               "left_anti")
     keepers = (verdict.where(F.col("is_keeper"))
                .select(F.col("doc_id").alias("url")))
     return keepers, lsh_band_overflow(sig)
@@ -183,14 +211,17 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     claims either). Emits ``stage='dedup'`` lineage rows (doc_count =
     keepers, fail_count = duplicates removed) plus a
     ``dedup_bands_dropped`` row reporting hot band buckets the
-    candidate join capped. Dedup scope is this run's delta — cross-run
-    dedup over the committed table is tools/dedup_job.py. Corollary:
-    a url dropped as a duplicate is NOT recorded as committed, so a
-    later resume run that re-offers it (without its keeper in the same
-    delta) will keep it — re-feeding identical input with dedup on is
-    therefore not idempotent across runs; dedup-before-commit is a
-    per-batch filter, not a global constraint (that needs the committed
-    signature table, i.e. the standalone job).
+    candidate join capped. With an ``output_dir``, dedup is CROSS-RUN:
+    a ``signatures/`` table accumulates the MinHash signatures of every
+    doc ever seen (keepers and dropped), each delta is judged against
+    that history via a band-bucket semi-join before its within-delta
+    clustering verdict applies, and a resume that re-offers a dropped
+    duplicate drops it again — identical input re-fed with dedup on is
+    idempotent. Keep ``dedup`` consistently on (or off) for a given
+    output dir: non-dedup runs don't record signatures, so their docs
+    are invisible to later dedup runs. Without an output dir, scope is
+    the single in-memory batch. Retroactive dedup of an existing
+    committed table remains tools/dedup_job.py.
 
     partition_output_by_date: partition the docs table by
     ``crawl_date = date(warc_ts)`` — the 100 TB layout (an Iceberg
@@ -265,9 +296,16 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                 raise ValueError(f"unknown dedup strategy {dedup!r} "
                                  "(supported: 'minhash-lsh')")
             t_dd = time.monotonic()
+            # committed signature table (ALL previously-seen docs,
+            # keepers and dropped): snapshot BEFORE this run's append —
+            # makes dedup judge the delta against history, and dropped
+            # duplicates stay dropped when a resume re-offers them
+            sig_table_path = os.path.join(output_dir, "signatures")
+            committed_sig = _read_table_if_exists(spark, sig_table_path)
+            sig_staging_path = os.path.join(output_dir, "_staging",
+                                            run_id + "_sig")
             keepers, overflow = _dedup_keepers(
-                fields, os.path.join(output_dir, "_staging",
-                                     run_id + "_sig"))
+                fields, sig_staging_path, committed_sig)
             n_in = fields.count()           # footer-metadata-only count
             n_keep = keepers.count()
             n_dropped_buckets = overflow.count()
@@ -314,6 +352,16 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  .parquet(docs_path))
         else:
             docs.write.mode("append").parquet(docs_path)
+        if dedup is not None:
+            # append the FULL delta signature table (keepers AND
+            # dropped) after the docs commit: future runs judge their
+            # deltas against every doc ever seen, so a re-offered
+            # dropped duplicate drops again (cross-run idempotency). A
+            # crash before this append just means the next run judges
+            # against an older snapshot — it can keep a duplicate,
+            # never lose a document.
+            (spark.read.parquet(sig_staging_path)
+             .write.mode("append").parquet(sig_table_path))
         # delta = this run's staged rows (column-pruned count of the
         # small staged delta), or the keeper count when dedup filtered
         # the delta; cumulative = committed-before + delta — exact in

@@ -465,3 +465,58 @@ class TestPipelineDedupStage:
                            dedup="minhash-lsh")
         assert res.docs.count() < doubled.count()
         res.unpersist()
+
+
+class TestCrossRunDedup:
+    """dedup=minhash-lsh with an output dir judges each delta against
+    the committed signatures/ table: dropped duplicates STAY dropped on
+    resume, and near-dups of committed docs never enter the table."""
+
+    def test_resume_reoffer_is_idempotent(self, spark, web_pages,
+                                          tmp_path):
+        from pyspark.sql import functions as F
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        base = web_pages.limit(20)
+        twin = base.withColumn("url", F.concat("url", F.lit("?dup")))
+        doubled = base.unionByName(twin)
+        out = str(tmp_path / "out")
+        r1 = run_pipeline(spark, doubled, output_dir=out, run_id="x1",
+                          dedup="minhash-lsh")
+        kept1 = {r["url"] for r in r1.docs.select("url").collect()}
+        assert len(kept1) < 40  # twins deduped
+        # resume with the SAME input: committed urls anti-join away,
+        # re-offered dropped twins collide with committed signatures
+        r2 = run_pipeline(spark, doubled, output_dir=out, run_id="x2",
+                          dedup="minhash-lsh")
+        kept2 = {r["url"] for r in r2.docs.select("url").collect()}
+        assert kept2 == kept1          # nothing re-enters
+        assert r2.docs_delta == 0 or r2.docs_delta < 5
+        assert r2.docs_written == len(kept1) + r2.docs_delta
+
+    def test_new_near_dup_of_committed_is_dropped(self, spark,
+                                                  web_pages, tmp_path):
+        from pyspark.sql import functions as F
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        base = web_pages.limit(12)
+        out = str(tmp_path / "out")
+        run_pipeline(spark, base, output_dir=out, run_id="y1",
+                     dedup="minhash-lsh")
+        # second run: twins of already-committed docs + genuinely novel
+        # docs (rows 40+ of the session corpus, disjoint classes)
+        twins = base.withColumn("url", F.concat("url", F.lit("?v2")))
+        fresh = web_pages.subtract(web_pages.limit(40))
+        n_fresh = fresh.count()
+        r2 = run_pipeline(spark, twins.unionByName(fresh),
+                          output_dir=out, run_id="y2",
+                          dedup="minhash-lsh")
+        kept2 = {r["url"] for r in r2.docs.select("url").collect()}
+        # no twin of a committed doc survives
+        assert not any(u.endswith("?v2") for u in kept2)
+        # the signatures table saw both runs' deltas
+        sig = spark.read.parquet(os.path.join(out, "signatures"))
+        assert sig.count() >= 12  # every sig-bearing doc recorded
+        if n_fresh:
+            # novel docs' keepers entered (fresh may near-dup itself)
+            assert any("?v2" not in u and u not in
+                       {r["url"] for r in base.collect()}
+                       for u in kept2)
