@@ -196,7 +196,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  repartition: str = "auto",
                  cache_intermediate: bool = True,
                  partition_output_by_date: bool = False,
-                 dedup: str | None = None) -> PipelineResult:
+                 dedup: str | None = None,
+                 quality_min: float | None = None) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
     output_dir: if set, writes ``claims/`` + ``docs/`` parquet (append)
@@ -222,6 +223,13 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     are invisible to later dedup runs. Without an output dir, scope is
     the single in-memory batch. Retroactive dedup of an existing
     committed table remains tools/dedup_job.py.
+
+    quality_min: training-data quality gate — drop docs whose
+    ``completeness_score`` falls below the threshold (and their
+    claims), after dedup. Emits a ``stage='quality'`` lineage row
+    (doc_count = kept, fail_count = dropped). A dropped doc is not
+    committed, so a resume re-extracts and re-drops it — idempotent,
+    deterministic.
 
     partition_output_by_date: partition the docs table by
     ``crawl_date = date(warc_ts)`` — the 100 TB layout (an Iceberg
@@ -321,6 +329,22 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                 "doc_count long, bytes long, fail_count long, "
                 "wall_ms long, attempt int"
             ).coalesce(1).write.mode("append").parquet(metrics_path)
+        if quality_min is not None:
+            t_q = time.monotonic()
+            n_before = (docs_delta if docs_delta is not None
+                        else fields.count())
+            docs = docs.where(F.col("completeness_score") >= quality_min)
+            claims = claims.join(docs.select("url"), "url", "left_semi")
+            n_after = docs.count()
+            docs_delta = n_after
+            q_ms = int((time.monotonic() - t_q) * 1000)
+            spark.createDataFrame(
+                [(run_id, "quality", -1, n_after, 0,
+                  n_before - n_after, q_ms, 0)],
+                "run_id string, stage string, partition_id int, "
+                "doc_count long, bytes long, fail_count long, "
+                "wall_ms long, attempt int"
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
         # idempotent claims append: a crash after the claims append but
         # before the docs append leaves claims committed for urls the
         # resume anti-join will re-process — skip those urls' claims
@@ -405,5 +429,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         keepers, _ = _dedup_keepers(fields_df, None)
         docs = docs.join(keepers, "url", "left_semi")
         claims = claims.join(keepers, "url", "left_semi")
+    if quality_min is not None:
+        docs = docs.where(F.col("completeness_score") >= quality_min)
+        claims = claims.join(docs.select("url"), "url", "left_semi")
     return PipelineResult(run_id, docs, claims, None, 0,
                           time.monotonic() - t0, cached=cached)

@@ -184,3 +184,41 @@ def sessionize_stream(spark: SparkSession, landing_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def dedup_stream(spark: SparkSession, landing_dir: str,
+                 output_dir: str, watermark: str = "2 hours",
+                 max_files_per_trigger: int = 1) -> None:
+    """Streaming EXACT dedup over a web_pages landing directory
+    (training-data-pipeline mandate, streaming twin of the batch
+    ``dedup_exact`` operator).
+
+    fingerprint = md5 of the whitespace-normalized lowercased text when
+    present (the batch dedup_exact contract), else md5 of the raw
+    binary payload — computed natively, no UDF. Duplicate fingerprints
+    arriving within the ``watermark`` horizon of each other are dropped
+    by ``dropDuplicatesWithinWatermark`` (state expires with the
+    watermark, so state size is bounded by the horizon's unique-doc
+    count — the unbounded-state trap of plain dropDuplicates on an
+    infinite stream is the reason this variant exists). First
+    occurrence wins; keepers append to ``<output_dir>/keepers``.
+    """
+    from pyspark.sql import functions as F
+
+    checkpoint = os.path.join(output_dir, "_checkpoint")
+    out_path = os.path.join(output_dir, "keepers")
+    stream = (spark.readStream.schema(WEB_PAGES)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(landing_dir))
+    fingerprint = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.encode(F.lower(F.regexp_replace("text", r"\s+", " ")),
+                       "UTF-8"))).otherwise(F.md5(F.col("html")))
+    deduped = (stream.withColumn("fingerprint", fingerprint)
+               .withWatermark("warc_ts", watermark)
+               .dropDuplicatesWithinWatermark(["fingerprint"]))
+    q = (deduped.writeStream.outputMode("append").format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -520,3 +520,77 @@ class TestCrossRunDedup:
             assert any("?v2" not in u and u not in
                        {r["url"] for r in base.collect()}
                        for u in kept2)
+
+
+class TestQualityGate:
+    """quality_min: training-data quality filter on completeness_score,
+    off by default, lineage-tracked, claims follow docs."""
+
+    def test_gate_filters_and_logs(self, spark, web_pages, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = str(tmp_path / "out")
+        base = run_pipeline(spark, web_pages, output_dir=None,
+                            resume=False)
+        n_all = base.docs.count()
+        n_good = base.docs.where("completeness_score >= 0.7").count()
+        base.unpersist()
+        assert 0 < n_good < n_all  # fixture mix spans the threshold
+        res = run_pipeline(spark, web_pages, output_dir=out,
+                           run_id="q1", quality_min=0.7)
+        assert res.docs.count() == n_good == res.docs_written
+        bad = res.docs.where("completeness_score < 0.7").count()
+        assert bad == 0
+        doc_urls = {r["url"] for r in res.docs.select("url").collect()}
+        claim_urls = {r["url"] for r in
+                      res.claims.select("url").distinct().collect()}
+        assert claim_urls <= doc_urls
+        m = {r["stage"]: r for r in res.metrics.collect()}
+        assert m["quality"]["doc_count"] == n_good
+        assert m["quality"]["fail_count"] == n_all - n_good
+        # ledger agrees with the physical filtered table
+        ledger = spark.read.parquet(os.path.join(out, "ledger"))
+        assert ledger.agg(F.max("docs_total_after")).first()[0] == n_good
+
+    def test_no_output_mode(self, spark, web_pages):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        res = run_pipeline(spark, web_pages.limit(20), output_dir=None,
+                           resume=False, quality_min=0.7)
+        assert res.docs.where("completeness_score < 0.7").count() == 0
+        res.unpersist()
+
+
+class TestDedupStream:
+    def test_streaming_exact_dedup(self, spark, web_pages, tmp_path):
+        """Two landing files with cross-batch duplicate content: the
+        watermarked streaming dedup keeps first occurrences only."""
+        import glob
+        import shutil
+        import tempfile
+
+        from insurance_pdf_extractor_spark.streaming import dedup_stream
+
+        def _flat(df, path):
+            # streaming file source lists FLAT files, not subdirectories
+            tmp = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+            shutil.move(glob.glob(f"{tmp}/d/part-*.parquet")[0], path)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        out = str(tmp_path / "out")
+        batch1 = web_pages.limit(10)
+        # batch 2 = 5 duplicates (same content, new urls) + 5 new docs
+        dup = (batch1.limit(5)
+               .withColumn("url", F.concat("url", F.lit("?copy"))))
+        new = web_pages.subtract(web_pages.limit(10)).limit(5)
+        _flat(batch1, str(landing / "f1.parquet"))
+        _flat(dup.unionByName(new), str(landing / "f2.parquet"))
+        dedup_stream(spark, str(landing), out, watermark="365 days")
+        kept = spark.read.parquet(os.path.join(out, "keepers"))
+        assert kept.count() == 15  # 10 + 5 new, 5 duplicates dropped
+        assert not any(r["url"].endswith("?copy")
+                       for r in kept.select("url").collect())
+        # re-run: checkpoint makes it a no-op
+        dedup_stream(spark, str(landing), out, watermark="365 days")
+        assert spark.read.parquet(os.path.join(out, "keepers")).count() == 15
