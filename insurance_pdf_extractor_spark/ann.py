@@ -183,3 +183,99 @@ def ann_multiprobe(emb: DataFrame, query_vec_id: int, k: int = 5,
                      .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m sub-codes for cheap
+# approximate distance — the standard companion to coarse IVF at corpus
+# scale (an IVF-PQ index scores candidates from bytes, not floats).
+# All stages are native DataFrame ops reusing kmeans_train per slice.
+# ---------------------------------------------------------------------------
+
+def pq_train(emb: DataFrame, m: int = 8, k: int = 16,
+             max_iter: int = 6, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Train per-slice codebooks: split each d-dim vector into ``m``
+    contiguous slices and run :func:`kmeans_train` on each slice's
+    sub-vectors. Returns (slice_no, bucket, centroid) — m × k rows, a
+    tiny table that broadcasts everywhere downstream.
+
+    Deterministic (inherits kmeans_train's smallest-id init). At corpus
+    scale train on a sample; the codebook is O(m·k·d/m) floats total.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = None
+    for s in range(m):
+        sl = emb.select(F.col(id_col).alias("vec_id"),
+                        F.slice(vec_col, s * sub + 1, sub)
+                        .alias("embedding"))
+        cents, _ = kmeans_train(sl, k=k, max_iter=max_iter)
+        cents = cents.select(F.lit(s).alias("slice_no"), "bucket",
+                             "centroid")
+        books = cents if books is None else books.unionByName(cents)
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int> of length m): each slice quantized to its
+    nearest codebook centroid — the 32×-smaller representation the
+    candidate scan scores against. One broadcast join of (n·m) slice
+    rows against (m·k) codebook rows, argmin per (id, slice), codes
+    reassembled in slice order; never vector×vector."""
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // m
+    slices = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*[
+            F.slice(vec_col, s * sub + 1, sub) for s in range(m)]))
+        .alias("slice_no", "sv"))
+    d = _sqdist(F.col("sv"), F.col("centroid"))
+    assigned = (slices.join(F.broadcast(codebooks), "slice_no")
+                .withColumn("d", d)
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy("vec_id", "slice_no")
+                    .orderBy("d", "bucket")))
+                .where(F.col("rn") == 1))
+    return (assigned.groupBy("vec_id")
+            .agg(F.array_sort(F.collect_list(F.struct("slice_no",
+                                                      "bucket")))
+                 .alias("s"))
+            .select("vec_id",
+                    F.transform("s", lambda x: x["bucket"])
+                    .alias("codes")))
+
+
+def pq_topk(emb: DataFrame, codebooks: DataFrame, query_vec_id: int,
+            k: int = 5, m: int = 8, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the QUERY stays exact; every
+    candidate is scored from its PQ codes via a per-slice lookup table
+    (query-slice ↔ codebook-centroid distances, m·k rows, broadcast).
+    Returns (vec_id, approx_dist) ascending — the scan reads codes, not
+    vectors, which is the point at 10^12 rows."""
+    q = (emb.where(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("q_emb")))
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // m
+    # distance table: for each (slice_no, bucket), ||q_slice - c||²
+    qslices = q.select(F.posexplode(F.array(*[
+        F.slice("q_emb", s * sub + 1, sub) for s in range(m)]))
+        .alias("slice_no", "qv"))
+    table = (codebooks.join(F.broadcast(qslices), "slice_no")
+             .select("slice_no", "bucket",
+                     _sqdist(F.col("qv"), F.col("centroid"))
+                     .alias("dq")))
+    codes = pq_encode(emb.where(F.col(id_col) != query_vec_id),
+                      codebooks, m=m, vec_col=vec_col, id_col=id_col)
+    scored = (codes.select("vec_id",
+                           F.posexplode("codes")
+                           .alias("slice_no", "bucket"))
+              .join(F.broadcast(table), ["slice_no", "bucket"])
+              .groupBy("vec_id")
+              .agg(F.round(F.sum("dq"), 6).alias("approx_dist")))
+    return scored.orderBy(F.asc("approx_dist"), F.asc("vec_id")).limit(k)

@@ -133,3 +133,70 @@ class TestKMeansIVF:
         assert len(got) == 5
         truth = _brute_topk(spark, emb, qid=0, k=5)
         assert {r["vec_id"] for r in got} == set(truth)
+
+
+class TestProductQuantization:
+    """PQ: per-slice codebooks (kmeans reuse), code encoding, and
+    asymmetric-distance top-k — the bytes-not-floats candidate scoring
+    an IVF-PQ index runs at corpus scale."""
+
+    def _exact_sq_topk(self, spark, emb, qid, k):
+        from insurance_pdf_extractor_spark.ann import _sqdist
+        q = (emb.where(F.col("vec_id") == qid)
+             .select(F.col("embedding").alias("q_emb")))
+        return [r["vec_id"] for r in
+                (emb.where(F.col("vec_id") != qid)
+                 .crossJoin(F.broadcast(q))
+                 .select("vec_id",
+                         _sqdist(F.col("embedding"),
+                                 F.col("q_emb")).alias("d"))
+                 .orderBy(F.asc("d"), F.asc("vec_id"))
+                 .limit(k).collect())]
+
+    def test_codebook_shape_and_determinism(self, spark):
+        from insurance_pdf_extractor_spark.ann import pq_train
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        books = pq_train(emb, m=8, k=4, max_iter=3)
+        rows = books.collect()
+        assert len(rows) == 8 * 4
+        dim = len(emb.first()["embedding"])
+        assert all(len(r["centroid"]) == dim // 8 for r in rows)
+        again = {(r["slice_no"], r["bucket"]):
+                 tuple(round(x, 9) for x in r["centroid"])
+                 for r in pq_train(emb, m=8, k=4, max_iter=3).collect()}
+        first = {(r["slice_no"], r["bucket"]):
+                 tuple(round(x, 9) for x in r["centroid"]) for r in rows}
+        assert again == first
+
+    def test_encode_total_and_code_range(self, spark):
+        from insurance_pdf_extractor_spark.ann import pq_encode, pq_train
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        books = pq_train(emb, m=8, k=4, max_iter=3)
+        codes = pq_encode(emb, books, m=8)
+        assert codes.count() == emb.count()
+        row = codes.first()
+        assert len(row["codes"]) == 8
+        mx = codes.select(
+            F.max(F.array_max("codes")).alias("mx"),
+            F.min(F.array_min("codes")).alias("mn")).first()
+        assert 0 <= mx["mn"] and mx["mx"] < 4
+
+    def test_adc_recall_beats_chance_and_dim_check(self, spark):
+        import pytest
+        from insurance_pdf_extractor_spark.ann import pq_topk, pq_train
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        n = emb.count()
+        books = pq_train(emb, m=16, k=16, max_iter=4)
+        truth = set(self._exact_sq_topk(spark, emb, 0, 10))
+        got = {r["vec_id"] for r in
+               pq_topk(emb, books, 0, k=10, m=16).collect()}
+        recall = len(got & truth) / 10
+        # quantized distances are approximate, and near-random synthetic
+        # embeddings are PQ's hardest case; with 16x16 codebooks
+        # (64 bits/vector, a 32x compression of 64xfloat32) recall@10
+        # must far exceed the 10/n = 0.02 chance level (measured sweep:
+        # 8x16 -> 0.2, 8x32 -> 0.4, 16x16 -> 0.4 — monotone in code
+        # bits, exactly the PQ tradeoff)
+        assert recall >= 0.3, (recall, n)
+        with pytest.raises(ValueError):
+            pq_train(emb, m=7)  # 64 % 7 != 0

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 from insurance_pdf_extractor_spark.ann import (  # noqa: E402
-    ann_multiprobe, assign_buckets, kmeans_train)
+    ann_multiprobe, assign_buckets, kmeans_train, pq_topk, pq_train)
 from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
 
 emb_path = sys.argv[1]
@@ -38,6 +38,11 @@ bucketed = assign_buckets(emb, cents)
 top = ann_multiprobe(bucketed, query_id, k=k, n_probes=n_probes,
                      bucket_col="bucket").collect()
 
+# PQ companion: 16x16 codebooks (64 bits/vector), asymmetric-distance
+# top-k over codes — the bytes-not-floats scan an IVF-PQ index runs
+books = pq_train(emb, m=16, k=16, max_iter=4)
+pq = pq_topk(emb, books, query_id, k=k, m=16).collect()
+
 print(json.dumps({
     "query_vec_id": query_id, "k": k, "n_probes": n_probes,
     "n_clusters": n_clusters,
@@ -45,5 +50,7 @@ print(json.dumps({
     "inertia": [round(x, 2) for x in inertia],
     "neighbours": [{"vec_id": r["vec_id"], "cosine": r["cosine"]}
                    for r in top],
+    "pq_neighbours": [{"vec_id": r["vec_id"],
+                       "approx_dist": r["approx_dist"]} for r in pq],
     "sec": round(time.monotonic() - t0, 1)}))
 spark.stop()
