@@ -122,7 +122,17 @@ def lsh_band_overflow(sig: DataFrame,
     """Report of DROPPED band buckets: (band_no, bh, members) for every
     bucket over the cap. A silent cap reads as "covered everything" —
     pipeline/dedup-job callers log this count next to the pair count."""
-    return (_lsh_banded(sig).groupBy("band_no", "bh")
+    return lsh_band_overflow_from_banded(_lsh_banded(sig), band_cap)
+
+
+def lsh_band_overflow_from_banded(banded: DataFrame,
+                                  band_cap: int = BAND_FREQ_CAP
+                                  ) -> DataFrame:
+    """:func:`lsh_band_overflow` over an ALREADY-BANDED (doc_id,
+    band_no, bh) table — the pipeline stages banding once and derives
+    the overflow report, the candidate join, and the cross-run probe
+    from the same staged rows."""
+    return (banded.groupBy("band_no", "bh")
             .agg(F.count("*").alias("members"))
             .where(F.col("members") > band_cap))
 
@@ -142,7 +152,17 @@ def lsh_pairs_from_signatures(sig: DataFrame,
     self-join sides (one extra shuffle total, same pattern as
     q_ngram_jaccard_pairs' SHINGLE_DF_CAP). ``lsh_band_overflow``
     reports what was dropped."""
-    stacked = _lsh_banded(sig)
+    return lsh_pairs_from_banded(_lsh_banded(sig), band_cap)
+
+
+def lsh_pairs_from_banded(banded: DataFrame,
+                          band_cap: int = BAND_FREQ_CAP) -> DataFrame:
+    """Candidate-pair self-join over an ALREADY-BANDED (doc_id, band_no,
+    bh) table — same cap + join as :func:`lsh_pairs_from_signatures`
+    minus the banding explode. The pipeline's dedup stage persists the
+    banded rows once (they are also the cross-run signature history
+    format) and calls this."""
+    stacked = banded
     if band_cap is not None:
         stacked = (stacked.withColumn(
             "bf", F.count("*").over(Window.partitionBy("band_no", "bh")))

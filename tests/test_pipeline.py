@@ -594,3 +594,84 @@ class TestDedupStream:
         # re-run: checkpoint makes it a no-op
         dedup_stream(spark, str(landing), out, watermark="365 days")
         assert spark.read.parquet(os.path.join(out, "keepers")).count() == 15
+
+
+class TestQualityDedupInteraction:
+    """ADVICE r4 (medium): with dedup + quality_min both on, a
+    quality-dropped doc's content is never committed, so its signature
+    must not enter the cross-run history — otherwise a later,
+    quality-passing near-dup is dropped by the probe and the content is
+    lost forever ('can keep a duplicate, never lose a document')."""
+
+    def test_quality_dropped_signatures_not_committed(
+            self, spark, web_pages, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        corpus = web_pages.limit(24)
+        base = run_pipeline(spark, corpus, output_dir=None, resume=False)
+        bad_urls = {r["url"] for r in
+                    base.docs.where("completeness_score < 0.7")
+                    .select("url").collect()}
+        base.unpersist()
+        assert bad_urls  # fixture mix spans the threshold
+        out = str(tmp_path / "out")
+        run_pipeline(spark, corpus, output_dir=out, run_id="qd1",
+                     dedup="minhash-lsh", quality_min=0.7)
+        sig = spark.read.parquet(os.path.join(out, "signatures"))
+        sig_urls = {r["doc_id"] for r in
+                    sig.select("doc_id").distinct().collect()}
+        assert sig_urls.isdisjoint(bad_urls)
+        # pre-banded format: (doc_id, band_no, bh), 16 rows per doc
+        assert set(sig.columns) == {"doc_id", "band_no", "bh"}
+        assert sig.count() == len(sig_urls) * 16
+
+    def test_near_dup_of_quality_dropped_is_kept_later(
+            self, spark, web_pages, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        corpus = web_pages.limit(24)
+        base = run_pipeline(spark, corpus, output_dir=None, resume=False)
+        bad = [r["url"] for r in
+               base.docs.where("completeness_score < 0.7")
+               .select("url").collect()]
+        base.unpersist()
+        out = str(tmp_path / "out")
+        run_pipeline(spark, corpus, output_dir=out, run_id="qd2",
+                     dedup="minhash-lsh", quality_min=0.7)
+        # run 2 re-offers a quality-dropped doc's CONTENT under a new
+        # url, quality gate off: the content was never preserved, so
+        # the cross-run probe must not drop it
+        twin = (corpus.join(
+            spark.createDataFrame([(u,) for u in bad[:2]], ["url"]),
+            "url", "left_semi")
+            .withColumn("url", F.concat("url", F.lit("?v2"))))
+        r2 = run_pipeline(spark, twin, output_dir=out, run_id="qd3",
+                          dedup="minhash-lsh")
+        kept2 = {r["url"] for r in r2.docs.select("url").collect()
+                 if r["url"].endswith("?v2")}
+        assert kept2 == {u + "?v2" for u in bad[:2]}
+
+    def test_validation_before_any_write(self, spark, web_pages,
+                                         tmp_path):
+        """ADVICE r4 (low): a typo'd dedup / out-of-range quality_min
+        raises before the extraction stage writes anything."""
+        import pytest
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = tmp_path / "out"
+        with pytest.raises(ValueError):
+            run_pipeline(spark, web_pages.limit(2), output_dir=str(out),
+                         dedup="bogus")
+        with pytest.raises(ValueError):
+            run_pipeline(spark, web_pages.limit(2), output_dir=str(out),
+                         quality_min=1.5)
+        assert not out.exists()  # nothing staged, nothing committed
+
+    def test_band_staging_cleaned_after_run(self, spark, web_pages,
+                                            tmp_path):
+        """ADVICE r4 (low): per-run _staging/<run>_sig dirs are deleted
+        once appended to signatures/ (they are re-derivable)."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = tmp_path / "out"
+        run_pipeline(spark, web_pages.limit(8), output_dir=str(out),
+                     run_id="clean1", dedup="minhash-lsh")
+        staging = out / "_staging"
+        assert not (staging / "clean1_sig").exists()
+        assert not (staging / "clean1").exists()
