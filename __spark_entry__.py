@@ -1146,6 +1146,102 @@ def q_retry_batches(spark, sf):
         "claim_ids", F.array_join("claim_ids", ","))
 
 
+def q_micro_ops(spark, sf):
+    """C12 slug/session + §2.12 format analysis + O5 retry batching in
+    ONE graded query (VERDICT r4 item 3 — merged so the 50-slot
+    registry frees room for pq_adc_topk / dedup_verdict). Same pattern
+    as field_normalize: one row per (kind, key); the typed columns a
+    kind doesn't produce stay NULL."""
+    def aligned(df, kind, key, **cols):
+        typed = {
+            "filename": F.lit(None).cast("string"),
+            "file_slug": F.lit(None).cast("string"),
+            "session_id": F.lit(None).cast("string"),
+            "keyword_hits": F.lit(None).cast("int"),
+            "has_multirow_anchors": F.lit(None).cast("boolean"),
+            "format_type": F.lit(None).cast("string"),
+            "claim_ids": F.lit(None).cast("string"),
+            "batch_size": F.lit(None).cast("long"),
+            "max_retries": F.lit(None).cast("int"),
+        }
+        typed.update(cols)
+        return df.select(F.lit(kind).alias("kind"), key.alias("key"),
+                         *[e.alias(k) for k, e in typed.items()])
+    return (
+        aligned(q_slug_session(spark, sf), "slug",
+                F.col("doc_id").cast("string"),
+                filename=F.col("filename"),
+                file_slug=F.col("file_slug"),
+                session_id=F.col("session_id"))
+        .unionByName(aligned(
+            q_format_analysis(spark, sf), "format", F.col("doc"),
+            keyword_hits=F.col("keyword_hits"),
+            has_multirow_anchors=F.col("has_multirow_anchors"),
+            format_type=F.col("format_type")))
+        .unionByName(aligned(
+            q_retry_batches(spark, sf), "retry",
+            F.concat(F.col("url"), F.lit("#"),
+                     F.col("batch_no").cast("string")),
+            claim_ids=F.col("claim_ids"),
+            batch_size=F.col("batch_size"),
+            max_retries=F.col("max_retries"))))
+
+
+#: PQ geometry for the graded ADC query: dim 8, m=4 slices of sub=2,
+#: 4 buckets per slice. Codebook centroids and codes are DETERMINISTIC
+#: ARITHMETIC over (slice, bucket, vec_id) so DuckDB can reconstruct the
+#: exact same index — the operator under grade is the ADC scoring path
+#: (codes posexplode → broadcast distance-table join → per-id sum →
+#: top-k), i.e. ann.pq_topk's query phase verbatim.
+_PQ_M, _PQ_SUB, _PQ_K = 4, 2, 4
+_PQ_QVEC = [0.3, 0.1, 0.5, 0.4, 0.2, 0.6, 0.7, 0.0]
+
+
+def _pq_centroid(s: int, b: int) -> list[float]:
+    return [0.1 * (s + 1) + 0.25 * b, 0.2 * (b + 1) - 0.05 * s]
+
+
+def q_pq_adc_topk(spark, sf):
+    """Asymmetric-distance (ADC) top-10 over a PQ codes table via the
+    REAL query-phase operator (:func:`ann.pq_topk` — reads codes, never
+    vectors, no re-encoding). Codes per vec: codes[s] = (vec_id +
+    (vec_id % 7)·(s+1) + s) mod 4."""
+    from insurance_pdf_extractor_spark.ann import pq_topk
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 500)
+    codes = emb.select("vec_id", F.array(*[
+        ((F.col("vec_id") + (F.col("vec_id") % 7) * (s + 1) + s)
+         % _PQ_K).cast("int")
+        for s in range(_PQ_M)]).alias("codes"))
+    books = spark.createDataFrame(
+        [(s, b, _pq_centroid(s, b))
+         for s in range(_PQ_M) for b in range(_PQ_K)],
+        "slice_no int, bucket int, centroid array<double>")
+    return pq_topk(codes, books, _PQ_QVEC, k=10)
+
+
+#: candidate-pair fixture for the graded keeper election: a diameter-6
+#: chain (pointer jumping must contract it), a triangle, a plain pair,
+#: and a star with edges written in both orientations.
+_DEDUP_PAIRS = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+                (10, 11), (11, 12), (10, 12),
+                (20, 21),
+                (30, 31), (32, 31), (33, 30)]
+
+
+def q_dedup_verdict(spark, sf):
+    """G5/dedup keeper election via the REAL clustering operator
+    (:func:`dedup.dedup_documents`: pointer-jumping connected
+    components, cluster_id = min reachable id, keeper = min id per
+    cluster, singletons kept) over a fixed candidate-pair fixture on
+    documents doc_id < 40."""
+    from insurance_pdf_extractor_spark.dedup import dedup_documents
+    docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 40)
+            .select("doc_id"))
+    pairs = _values_df(spark, _DEDUP_PAIRS, ["doc_a", "doc_b"])
+    return dedup_documents(docs, pairs).select(
+        "doc_id", "cluster_id", "is_keeper")
+
+
 _WM_VALUES = [
     (1, "CONFIDENTIAL"), (1, "body line one"), (1, "xx"),
     (2, "CONFIDENTIAL"), (2, "body line two"), (2, "xx"),
@@ -1293,9 +1389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "chunk_plan": q_chunk_plan,
         "chunk_integrity": q_chunk_integrity,
-        "slug_session": q_slug_session,
-        "retry_batches": q_retry_batches,
-        "format_analysis": q_format_analysis,
+        # C12 slug/session + format analysis + retry batching, merged
+        # (VERDICT r4 item 3) to free slots for the two entries below
+        "micro_ops": q_micro_ops,
+        # PQ asymmetric-distance scoring (the IVF-PQ query phase)
+        "pq_adc_topk": q_pq_adc_topk,
+        # connected-components keeper election on a fixed pair fixture
+        "dedup_verdict": q_dedup_verdict,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize_events": q_sessionize_events,
     }
@@ -1568,6 +1668,102 @@ def _retry_batches_sql() -> str:
                        AS claim_ids,
                    count(*) AS batch_size, 2 AS max_retries
             FROM ex GROUP BY url, idx // 5"""
+
+
+def _micro_ops_sql() -> str:
+    """Union of the three micro-oracles under the shared (kind, key)
+    schema — column lists mirror q_micro_ops's `aligned` exactly."""
+    nulls = {
+        "filename": "VARCHAR", "file_slug": "VARCHAR",
+        "session_id": "VARCHAR", "keyword_hits": "INT",
+        "has_multirow_anchors": "BOOLEAN", "format_type": "VARCHAR",
+        "claim_ids": "VARCHAR", "batch_size": "BIGINT",
+        "max_retries": "INT"}
+
+    def cols(present):
+        return ", ".join(
+            c if c in present else f"CAST(NULL AS {t}) AS {c}"
+            for c, t in nulls.items())
+    return f"""
+            WITH slug AS ({_slug_session_sql()}),
+            fmt AS ({_format_analysis_sql()}),
+            rb AS ({_retry_batches_sql()})
+            SELECT 'slug' AS kind, CAST(doc_id AS VARCHAR) AS key,
+                   {cols({'filename', 'file_slug', 'session_id'})}
+            FROM slug
+            UNION ALL
+            SELECT 'format', doc,
+                   {cols({'keyword_hits', 'has_multirow_anchors',
+                          'format_type'})}
+            FROM fmt
+            UNION ALL
+            SELECT 'retry', url || '#' || batch_no,
+                   {cols({'claim_ids', 'batch_size', 'max_retries'})}
+            FROM rb"""
+
+
+def _pq_adc_topk_sql() -> str:
+    """ADC reconstruction: same arithmetic codes + centroids, distance
+    table joined to exploded codes, per-vec sum, top-10. Float literals
+    CAST AS DOUBLE (DuckDB VALUES infer DECIMAL — exact arithmetic would
+    diverge from Spark's IEEE doubles)."""
+    qs = ", ".join(
+        f"({s}, CAST({_PQ_QVEC[s * _PQ_SUB]!r} AS DOUBLE), "
+        f"CAST({_PQ_QVEC[s * _PQ_SUB + 1]!r} AS DOUBLE))"
+        for s in range(_PQ_M))
+    cents = ", ".join(
+        f"({s}, {b}, CAST({_pq_centroid(s, b)[0]!r} AS DOUBLE), "
+        f"CAST({_pq_centroid(s, b)[1]!r} AS DOUBLE))"
+        for s in range(_PQ_M) for b in range(_PQ_K))
+    return f"""
+            WITH qs(slice_no, q1, q2) AS (VALUES {qs}),
+            books(slice_no, bucket, c1, c2) AS (VALUES {cents}),
+            dq AS (
+              SELECT b.slice_no, b.bucket,
+                     (q1 - c1) * (q1 - c1) + (q2 - c2) * (q2 - c2) AS dq
+              FROM books b JOIN qs USING (slice_no)
+            ), codes AS (
+              SELECT vec_id, s.s AS slice_no,
+                     CAST((vec_id + (vec_id % 7) * (s.s + 1) + s.s)
+                          % {_PQ_K} AS INT) AS bucket
+              FROM embeddings, (SELECT unnest(range({_PQ_M})) AS s) s
+              WHERE vec_id < 500
+            ), scored AS (
+              SELECT vec_id, round(sum(dq), 6) AS approx_dist
+              FROM codes JOIN dq USING (slice_no, bucket)
+              GROUP BY vec_id
+            )
+            SELECT vec_id, approx_dist FROM scored
+            ORDER BY approx_dist ASC, vec_id ASC LIMIT 10"""
+
+
+def _dedup_verdict_sql() -> str:
+    """Transitive-closure twin of dedup_documents: min reachable id per
+    node via a recursive CTE (fixture graphs are tiny; the Spark side is
+    the distributed pointer-jumping operator)."""
+    vals = ", ".join(f"({a}, {b})" for a, b in _DEDUP_PAIRS)
+    return f"""
+            WITH RECURSIVE p(a, b) AS (VALUES {vals}),
+            edges AS (
+              SELECT a, b FROM p UNION SELECT b, a FROM p
+              UNION SELECT a, a FROM p UNION SELECT b, b FROM p
+            ),
+            reach(id, r) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e
+              ON reach.r = e.a
+            ),
+            comp AS (
+              SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.doc_id = coalesce(c.cluster_id, d.doc_id)
+                       AS is_keeper
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
+            LEFT JOIN comp c ON d.doc_id = c.doc_id"""
 
 
 def _finval_sql() -> str:
@@ -2119,7 +2315,9 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY warc_ts_s DESC) AS rn FROM snaps)
             WHERE rn = 1""",
         "url_normalize": _url_normalize_sql(),
-        "format_analysis": _format_analysis_sql(),
+        "micro_ops": _micro_ops_sql(),
+        "pq_adc_topk": _pq_adc_topk_sql(),
+        "dedup_verdict": _dedup_verdict_sql(),
         "sessionize_events": """
             WITH o AS (
               SELECT user_id, event_id, ts,
@@ -2144,8 +2342,6 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY user_id, session_no""",
         "chunk_plan": _chunk_plan_sql(),
         "chunk_integrity": _chunk_integrity_sql(),
-        "slug_session": _slug_session_sql(),
-        "retry_batches": _retry_batches_sql(),
         "pipeline_documents": _pipeline_documents_sql(),
         "extraction_quality": _extraction_quality_sql(),
         "media_features": _media_features_sql(),

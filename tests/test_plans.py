@@ -218,3 +218,35 @@ class TestR5OperatorPlans:
         assert "Generate" not in plan          # no banding explode
         assert "md5" not in plan.lower()       # no signature re-hash
         assert plan.count("FileScan parquet") == 2
+
+    def test_pq_adc_topk_prunes_vector_column(self, spark):
+        """The graded ADC query builds codes from vec_id arithmetic —
+        the embeddings scan must prune the fat vector column, and the
+        distance table must come in as a broadcast join."""
+        import __spark_entry__ as E
+        df = E.queries()["pq_adc_topk"](spark, SF)
+        plan = _plan(df)
+        scan = [ln for ln in plan.splitlines()
+                if "FileScan" in ln and "embeddings" in ln]
+        assert scan and all("embedding" not in ln.split("ReadSchema")[-1]
+                            for ln in scan), scan
+        assert "BroadcastHashJoin" in plan
+
+    def test_dedup_verdict_keeper_election(self, spark):
+        """Fixture graph: chain 1-7, triangle 10-12, pair 20-21, star
+        30-33 → 4 multi-clusters + 30 singletons; exactly one keeper
+        (the min id) per cluster."""
+        import __spark_entry__ as E
+        rows = E.queries()["dedup_verdict"](spark, SF).collect()
+        assert len(rows) == 40
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            keepers = [m for m in members if m["is_keeper"]]
+            assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+        assert sorted(m["doc_id"] for m in by_cluster[1]) == [1, 2, 3,
+                                                              4, 5, 6, 7]
+        assert sorted(m["doc_id"] for m in by_cluster[30]) == [30, 31,
+                                                               32, 33]
+        assert len(by_cluster) == 28  # 4 multi + 24 singletons
