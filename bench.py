@@ -22,6 +22,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 CACHE_DIR = "/tmp/spark_graft_bench"
 
+#: quiet-window gate (VERDICT r4 item 2 — the r4 artifact of record was
+#: taken at loadavg 17 and unusable): block until the host calms down,
+#: and stamp the artifact with the loadavg it actually started at.
+QUIET_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_THRESHOLD", "3.0"))
+QUIET_WAIT = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "900"))
+
+
+def _loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
+def wait_quiet() -> tuple[float | None, bool]:
+    """Block until 1-min loadavg < QUIET_MAX or QUIET_WAIT elapses.
+    Returns (loadavg at release, whether the gate was satisfied)."""
+    t0 = time.monotonic()
+    la = _loadavg()
+    while la is not None and la >= QUIET_MAX:
+        if time.monotonic() - t0 > QUIET_WAIT:
+            print(f"WARNING: benching at loadavg {la} after waiting "
+                  f"{QUIET_WAIT:.0f}s", file=sys.stderr)
+            return la, False
+        time.sleep(15)
+        la = _loadavg()
+    return la, la is not None and la < QUIET_MAX
+
 
 def _gen_fingerprint() -> str:
     """Content hash of the fixture generator: a cached corpus written by
@@ -103,10 +132,13 @@ def main() -> None:
         if "sf" in sf_dir else 0.0
 
     import __spark_entry__ as E
+    from pyspark.sql import functions as F
     from insurance_pdf_extractor_spark.pipeline import run_pipeline
     from insurance_pdf_extractor_spark.session import get_spark
 
     fixture_path = ensure_fixture_corpus(FIXTURE_DOCS)
+
+    loadavg_start, quiet = wait_quiet()
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
@@ -204,6 +236,124 @@ def main() -> None:
                            dedup="minhash-lsh")
         return res.docs.select("url")
 
+    def pipeline_quality_pass(spark, sf_dir):
+        """Extraction + the quality_min training-data gate (VERDICT r4
+        item 7 — shipped untimed). Same html corpus as
+        extract_html_docs so the gate's marginal cost is readable."""
+        web = E._web_pages_from_documents(spark, sf_dir)
+        res = run_pipeline(spark, web, output_dir=None, resume=False,
+                           quality_min=0.7)
+        return res.docs.select("url")
+
+    # IVF-PQ: build staged once (the index is a persisted artifact by
+    # design); the timed entry is the QUERY phase over stored codes
+    from insurance_pdf_extractor_spark import ann as _ann_mod
+    ann_code = hashlib.md5(
+        open(_ann_mod.__file__, "rb").read()).hexdigest()[:10]
+    ivf_staging = os.path.join(
+        CACHE_DIR, "ivfpq_" + sf_dir.strip("/").replace("/", "_")
+        + "_" + ann_code)
+
+    def ivfpq_stage(spark) -> list:
+        qv_path = os.path.join(ivf_staging, "qvec.json")
+        if not os.path.exists(qv_path):
+            from insurance_pdf_extractor_spark.ann import ivfpq_build
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet"))
+            cents, books, index = ivfpq_build(
+                emb, n_clusters=8, m=16, k=16, kmeans_iter=3, pq_iter=3)
+            index.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(ivf_staging, "codes"))
+            cents.write.mode("overwrite").parquet(
+                os.path.join(ivf_staging, "centroids"))
+            books.write.mode("overwrite").parquet(
+                os.path.join(ivf_staging, "codebooks"))
+            q_vec = [float(x) for x in emb.where(
+                F.col("vec_id") == 0).first()["embedding"]]
+            with open(qv_path, "w") as f:
+                json.dump(q_vec, f)
+        with open(qv_path) as f:
+            return json.load(f)
+
+    def ivfpq_query(spark, sf_dir):
+        """Multi-probe ADC top-10 served from the STORED index — reads
+        codes in the probed buckets only, no vectors, no encoding."""
+        from insurance_pdf_extractor_spark.ann import ivfpq_topk
+        q_vec = ivfpq_stage(spark)
+        stored = spark.read.parquet(os.path.join(ivf_staging, "codes"))
+        cents = spark.read.parquet(os.path.join(ivf_staging, "centroids"))
+        books = spark.read.parquet(os.path.join(ivf_staging, "codebooks"))
+        return ivfpq_topk(stored.where(F.col("vec_id") != 0), cents,
+                          books, q_vec, k=10, n_probes=2)
+
+    # cross-run dedup delta probe: committed history at 1x/2x/3x, SAME
+    # delta — the three timings must stay flat as history grows
+    # (VERDICT r4 item 1's bench criterion). History rows are the
+    # pre-banded (doc_id, band_no, bh) table the pipeline commits.
+    from insurance_pdf_extractor_spark.dedup import (
+        _lsh_banded, minhash_signatures_from_docs)
+    from insurance_pdf_extractor_spark.pipeline import (
+        _probe_committed_collisions)
+    dedup_code = hashlib.md5(open(
+        os.path.join(os.path.dirname(_ann_mod.__file__),
+                     "dedup.py"), "rb").read()).hexdigest()[:10]
+    probe_staging = os.path.join(
+        CACHE_DIR, "crossrun_" + sf_dir.strip("/").replace("/", "_")
+        + "_" + dedup_code)
+
+    def crossrun_stage(spark) -> None:
+        if os.path.exists(os.path.join(probe_staging, "delta",
+                                       "_SUCCESS")):
+            return
+        docs = (spark.read.parquet(
+                    os.path.join(sf_dir, "documents.parquet"))
+                .select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "text"))
+        banded = _lsh_banded(minhash_signatures_from_docs(docs))
+        banded = banded.localCheckpoint()
+        for mult in (1, 2, 3):
+            hist = banded
+            for i in range(1, mult):
+                hist = hist.unionByName(banded.withColumn(
+                    "doc_id", F.concat(F.lit(f"r{i}:"),
+                                       F.col("doc_id"))))
+            hist.write.mode("overwrite").partitionBy("band_no").parquet(
+                os.path.join(probe_staging, f"hist{mult}"))
+        delta_docs = docs.where(
+            F.col("doc_id").cast("long") < 500).withColumn(
+            "doc_id", F.concat(F.lit("delta:"), F.col("doc_id")))
+        _lsh_banded(minhash_signatures_from_docs(delta_docs)).write.mode(
+            "overwrite").parquet(os.path.join(probe_staging, "delta"))
+
+    def _crossrun_probe(mult):
+        def fn(spark, sf_dir):
+            delta = spark.read.parquet(
+                os.path.join(probe_staging, "delta"))
+            hist = spark.read.parquet(
+                os.path.join(probe_staging, f"hist{mult}"))
+            return _probe_committed_collisions(delta, hist)
+        return fn
+
+    # streaming exact-dedup drain (AvailableNow): fresh checkpoint per
+    # run so each timing covers the full landing-dir drain
+    stream_landing = os.path.join(
+        CACHE_DIR, f"stream_landing_{_gen_fingerprint()}.parquet")
+
+    def stream_stage(spark) -> None:
+        if not os.path.exists(os.path.join(stream_landing, "_SUCCESS")):
+            (spark.read.parquet(fixture_path).limit(4000)
+             .repartition(16)
+             .write.mode("overwrite").parquet(stream_landing))
+
+    def dedup_stream_drain(spark, sf_dir):
+        import tempfile
+
+        from insurance_pdf_extractor_spark.streaming import dedup_stream
+        out = tempfile.mkdtemp(prefix="bench_stream_")
+        dedup_stream(spark, stream_landing, out, watermark="365 days",
+                     max_files_per_trigger=8)
+        return spark.read.parquet(os.path.join(out, "keepers"))
+
     qs = E.queries()
     bench_queries = {
         "extract_fixtures": extract_fixtures,
@@ -231,6 +381,13 @@ def main() -> None:
         "ann_bruteforce": qs["ann_bruteforce"],
         "ann_multiprobe_trained": ann_trained,
         "media_derivatives": media_derivatives,
+        # r5: previously-untimed surfaces (VERDICT r4 items 1/4/7)
+        "pipeline_quality_pass": pipeline_quality_pass,
+        "ivfpq_topk": ivfpq_query,
+        "crossrun_probe_h1": _crossrun_probe(1),
+        "crossrun_probe_h2": _crossrun_probe(2),
+        "crossrun_probe_h3": _crossrun_probe(3),
+        "dedup_stream_drain": dedup_stream_drain,
     }
 
     # JVM/python-worker warmup so per-query numbers measure the queries;
@@ -238,6 +395,9 @@ def main() -> None:
     extract_fixtures(spark, sf_dir).limit(1).count()
     lsh_staged(spark, sf_dir).limit(1).count()
     simhash_pairs(spark, sf_dir).limit(1).count()
+    ivfpq_stage(spark)
+    crossrun_stage(spark)
+    stream_stage(spark)
 
     timings: dict[str, float] = {}
     extract_docs = 0
@@ -279,6 +439,10 @@ def main() -> None:
         # shuffle-heavy numbers ±30% with neighbor load — the artifact
         # should carry its own window quality
         "loadavg": loadavg,
+        # quiet-window gate (r5): loadavg when measurement actually
+        # started (after wait_quiet) and whether the gate was satisfied
+        "loadavg_at_start": loadavg_start,
+        "quiet_start": quiet,
     }
     print(json.dumps(out))
     spark.stop()

@@ -198,54 +198,86 @@ def main() -> None:
 
     la0 = wait_quiet()
 
-    # INTERLEAVED passes (cal_L, L, cal_H, H) × 2: running all low runs
-    # then all high runs lets a window shift between the phases bias the
-    # ratio in either direction; alternating makes both levels sample
-    # the same noise process, and min-per-level then compares clean
-    # runs. The hardware calibration is sampled ADJACENT to each level
-    # run (its own attempt-to-attempt variance is ±20% on this host —
-    # a single attempt-start sample normalizes the wrong window).
-    os.environ.setdefault("SCALING_RUNS", "2")
-    la1 = wait_quiet()
+    # INTERLEAVED passes (cal_L, L, cal_H, H) × 3, MEDIAN of record
+    # (VERDICT r4 item 2: min-of-2 left the artifact hostage to one
+    # lucky/unlucky window; the median of three PAIRED passes is robust
+    # to a single spike in either direction). Running all low runs then
+    # all high runs would let a window shift between the phases bias the
+    # ratio; alternating makes both levels sample the same noise
+    # process, and each pass's ratio compares ADJACENT runs. The
+    # hardware calibration is likewise sampled adjacent to each level
+    # run (its attempt-to-attempt variance is ±20% on this host).
+    n_passes = int(os.environ.get("SCALING_PASSES", "3"))
+    os.environ.setdefault("SCALING_RUNS", "1")
     passes = []
     cals = []
-    for _ in range(2):
+    la_per_pass = []
+    for _ in range(n_passes):
+        la_p = wait_quiet()
         c_l = calibrate(low)
         r_l = run_level(spec_low, low, n_docs)
         c_h = calibrate(high)
         r_h = run_level(spec_high, high, n_docs)
         passes.append((r_l, r_h))
         cals.append((c_l, c_h))
+        la_per_pass.append(la_p)
     la2 = wait_quiet(max_wait=0)
-    r_low = min((p[0] for p in passes), key=lambda r: r["sec"])
-    r_high = min((p[1] for p in passes), key=lambda r: r["sec"])
-    r_low = dict(r_low, all_passes_sec=[p[0]["sec"] for p in passes])
-    r_high = dict(r_high, all_passes_sec=[p[1]["sec"] for p in passes])
+
+    def _median(xs):
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    ratio = high / low
+    # paired per-pass efficiencies: each pass's low/high ran in the same
+    # noise window, so the per-pass ratio is the clean unit of record
+    eff_per_pass = [(p[0]["sec"] / p[1]["sec"]) / ratio for p in passes]
+    hw_per_pass = [c[1] / c[0] for c in cals]
+    norm_per_pass = [e / h for e, h in zip(eff_per_pass, hw_per_pass)]
+    efficiency = _median(eff_per_pass)
+    hw_ceiling = _median(hw_per_pass)
+    eff_norm = _median(norm_per_pass)
+    # representative level runs for the throughput fields: the pass
+    # whose raw efficiency IS the median
+    med_i = eff_per_pass.index(
+        sorted(eff_per_pass)[len(eff_per_pass) // 2])
+    r_low = dict(passes[med_i][0],
+                 all_passes_sec=[p[0]["sec"] for p in passes])
+    r_high = dict(passes[med_i][1],
+                  all_passes_sec=[p[1]["sec"] for p in passes])
     cal_low = sum(c[0] for c in cals) / len(cals)
     cal_high = sum(c[1] for c in cals) / len(cals)
-    hw_ceiling = cal_high / cal_low  # ≤1: per-core slowdown at high level
-    speedup = r_low["sec"] / r_high["sec"]
-    efficiency = speedup / (high / low)
     result = {"n_docs": n_docs, "mode": mode,
               "spec_low": spec_low, "spec_high": spec_high,
               "low": r_low, "high": r_high,
-              "speedup": round(speedup, 3),
-              "ideal_speedup": high / low,
+              "n_passes": n_passes,
+              "speedup": round(efficiency * ratio, 3),
+              "ideal_speedup": ratio,
+              # values of record: MEDIAN over paired passes, raw AND
+              # hardware-normalized both reported (targets: raw ≥ 0.70,
+              # normalized ≥ 0.8)
               "scaling_efficiency": round(efficiency, 3),
+              "scaling_efficiency_per_pass":
+                  [round(e, 3) for e in eff_per_pass],
               "hw_percore_ceiling": round(hw_ceiling, 3),
+              "hw_percore_ceiling_per_pass":
+                  [round(h, 3) for h in hw_per_pass],
               "calib_percore_docs_per_sec_low": round(cal_low, 1),
               "calib_percore_docs_per_sec_high": round(cal_high, 1),
               "calib_per_pass": [[round(c[0], 1), round(c[1], 1)]
                                  for c in cals],
-              "scaling_efficiency_hw_normalized":
-                  round(efficiency / hw_ceiling, 3),
+              "scaling_efficiency_hw_normalized": round(eff_norm, 3),
+              "scaling_efficiency_hw_normalized_per_pass":
+                  [round(e, 3) for e in norm_per_pass],
               "loadavg_at_calib": la0,
-              "loadavg_at_start": la1,
+              "loadavg_at_start": la_per_pass[0],
+              "loadavg_per_pass": la_per_pass,
               # post-measurement loadavg is dominated by our own just-
               # finished 32-core work — recorded for context, NOT gated
               "loadavg_post": la2,
-              "quiet": max(la0, la1) < QUIET,
-              "passes_0_8": efficiency / hw_ceiling >= 0.8,
+              "quiet": max([la0] + la_per_pass) < QUIET,
+              "passes_0_8": eff_norm >= 0.8,
+              "passes_raw_0_70": efficiency >= 0.70,
               # staleness stamps (ADVICE r2: a kept-best result must be
               # traceable to the code it measured and re-measurable)
               "commit": _git_head(),
