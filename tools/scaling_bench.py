@@ -88,13 +88,31 @@ def run_level(spec: str, cores: int, n_docs: int) -> dict:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     # identical fine-grained splits at BOTH levels: the scan itself
     # provides size-balanced partitions (no shuffle of the fat binary
-    # column at either level — same plan, only the core count varies)
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
-                         check=False)
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"worker {cores} failed:\n{out.stderr[-2000:]}")
+    # column at either level — same plan, only the core count varies).
+    # One retry after a fresh quiet wait: a worker that times out or
+    # crashes (wedged Python-UDF task, executor loss) must cost one
+    # level re-run, not the whole multi-pass protocol.
+    last_err = ""
+    for attempt in range(2):
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1200, check=False)
+        except subprocess.TimeoutExpired:
+            last_err = f"worker {spec} timed out after 1200s"
+            print(f"WARNING: {last_err}; "
+                  f"{'retrying' if attempt == 0 else 'giving up'}",
+                  file=sys.stderr)
+            wait_quiet()
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        last_err = out.stderr[-2000:]
+        print(f"WARNING: worker {spec} produced no result; "
+              f"{'retrying' if attempt == 0 else 'giving up'}",
+              file=sys.stderr)
+        wait_quiet()
+    raise RuntimeError(f"worker {cores} failed twice:\n{last_err}")
 
 
 # The calibration runs the ACTUAL per-document extraction function

@@ -45,7 +45,21 @@ def main() -> None:
             shuffle_partitions=cores,
             extra={"spark.executor.memory": "8g",
                    # executor python workers must import the engine
-                   "spark.executorEnv.PYTHONPATH": os.path.abspath(ROOT)})
+                   "spark.executorEnv.PYTHONPATH": os.path.abspath(ROOT),
+                   # straggler insurance: under the full-width load burst
+                   # a Python-UDF task can wedge permanently (observed:
+                   # the stdout-writer thread died mid-task, leaving the
+                   # JVM reading from a worker that is itself blocked on
+                   # recv — both sides wait forever and the job never
+                   # finishes). Speculation re-launches any task >4x the
+                   # 0.9-quantile runtime, turning a wedged ~40 s task
+                   # into one duplicate attempt instead of a dead bench;
+                   # it is also what a real 1000-executor job runs with.
+                   # Measured cost on healthy runs: within window noise
+                   # (r4 A/B) — worth carrying for the fault tolerance.
+                   "spark.speculation": "true",
+                   "spark.speculation.quantile": "0.9",
+                   "spark.speculation.multiplier": "4"})
     else:
         cores = int(spec)
         spark = get_spark(app_name=f"scaling-{cores}",
