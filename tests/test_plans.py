@@ -96,6 +96,37 @@ class TestPipelineShape:
         assert plan.count("MapInPandas") == 1  # stages fused
         assert "html" not in out.columns      # fat column pruned at UDF
 
+    def test_auto_uses_scan_splits_no_fat_shuffle(self, spark, tmp_path):
+        """The pipeline's preferred path at scale (pipeline.py module
+        doc): when the parquet scan already yields >= num_partitions
+        size-balanced splits, repartition='auto' must NOT shuffle the
+        fat binary column — the only Exchange in the claims plan is the
+        tiny post-UDF window exchange, and nothing below the
+        MapInPandas. This is the shape the scaling bench measures with
+        SCALING_REPARTITION=auto."""
+        from insurance_pdf_extractor_spark.fixtures import (
+            write_web_pages_parquet)
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        p = str(tmp_path / "web.parquet")
+        write_web_pages_parquet(p, 400)
+        key = "spark.sql.files.maxPartitionBytes"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(16 * 1024))
+        try:
+            web = spark.read.parquet(p)
+            assert web.rdd.getNumPartitions() >= 8
+            res = run_pipeline(spark, web, output_dir=None, resume=False,
+                               repartition="auto", num_partitions=8,
+                               cache_intermediate=False)
+            plan = _plan(res.claims)
+            assert plan.count("MapInPandas") == 1
+            # physical plans print top-down: everything after the
+            # MapInPandas line is its input side — no Exchange there
+            scan_side = plan.split("MapInPandas", 1)[1]
+            assert "Exchange" not in scan_side
+        finally:
+            spark.conf.set(key, old)
+
     def test_sniff_is_pure_native(self, spark, web_pages):
         from insurance_pdf_extractor_spark.operators.sniff import sniff
         plan = _plan(sniff(web_pages))

@@ -275,6 +275,8 @@ def main() -> None:
     cal_low = sum(c[0] for c in cals) / len(cals)
     cal_high = sum(c[1] for c in cals) / len(cals)
     result = {"n_docs": n_docs, "mode": mode,
+              "repartition":
+                  os.environ.get("SCALING_REPARTITION", "always"),
               "spec_low": spec_low, "spec_high": spec_high,
               "low": r_low, "high": r_high,
               "n_passes": n_passes,

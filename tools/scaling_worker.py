@@ -34,6 +34,24 @@ def main() -> None:
     path = ensure_fixture_corpus(n_docs)
 
     if "x" in spec:
+        _cores = 1
+        for v in spec.split("x"):
+            _cores *= int(v)
+    else:
+        _cores = int(spec)
+    # Partitioning mode under test. "auto" = the pipeline's documented
+    # preferred path at scale (pipeline.py module doc): the parquet scan
+    # itself provides size-balanced splits and the fat binary column is
+    # NEVER shuffled — split size is derived from the corpus so the scan
+    # yields ~3x cores partitions (comfortably above run_pipeline's
+    # 2x-cores auto threshold, with wave balancing to spare). "always" =
+    # the skew-fallback explicit repartition on xxhash64(url).
+    repartition = os.environ.get("SCALING_REPARTITION", "always")
+    if repartition == "auto":
+        split = max(1 << 20, os.path.getsize(path) // (_cores * 3))
+        os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"] = str(split)
+
+    if "x" in spec:
         n_exec, per_exec = (int(v) for v in spec.split("x"))
         cores = n_exec * per_exec
         import pyspark
@@ -83,7 +101,7 @@ def main() -> None:
     # left the first executor-mode timed run 2-4x cold (measured
     # 107.9 s vs 20.2 s steady at 4x8)
     run_pipeline(spark, web, output_dir=None, resume=False,
-                 num_partitions=cores * 2, repartition="always",
+                 num_partitions=cores * 2, repartition=repartition,
                  cache_intermediate=False).claims.count()
 
     # four timed runs, min reported — at the target scale the job runs
@@ -123,7 +141,7 @@ def main() -> None:
         # persisting the fat intermediate at this size spills)
         res = run_pipeline(spark, web, output_dir=None, resume=False,
                            num_partitions=cores * 2,
-                           repartition="always",
+                           repartition=repartition,
                            cache_intermediate=False)
         res.claims.count()
         times.append(time.monotonic() - t0)
@@ -132,6 +150,8 @@ def main() -> None:
         loads.append([la_pre, la_post])
     dt = min(times)
     print(json.dumps({"cores": cores, "docs": n, "sec": round(dt, 3),
+                      "repartition": repartition,
+                      "scan_partitions": web.rdd.getNumPartitions(),
                       "docs_per_sec": round(n / dt, 2),
                       "all_runs_sec": [round(t, 3) for t in times],
                       "loadavg_per_run": loads,
