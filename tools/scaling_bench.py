@@ -235,14 +235,41 @@ def main() -> None:
     # hardware calibration is likewise sampled adjacent to each level
     # run (its attempt-to-attempt variance is ±20% on this host).
     n_passes = int(os.environ.get("SCALING_PASSES", "3"))
-    os.environ.setdefault("SCALING_RUNS", "1")
+    # two timed runs per level per pass, min of record: one neighbor
+    # burst inside a pass costs a run, not the pass (the r5 640k run
+    # showed single-run passes swinging raw 0.40-0.70 in one window)
+    os.environ.setdefault("SCALING_RUNS", "2")
+
+    def _neighbor_hit(r: dict, cores: int) -> bool:
+        """True when the BEST run of this level still saw busier CPUs
+        than our pinned width can produce — taskset caps our own load at
+        `cores`, so mean busy-cores > cores + 3 is neighbor activity
+        inside the timed window (host-wide /proc/stat), not us. Only
+        decidable below full width: at 32/32 busy saturates."""
+        bc = r.get("busy_cores_per_run") or []
+        if not bc or cores + 3 >= os.cpu_count():
+            return False
+        i = r["all_runs_sec"].index(min(r["all_runs_sec"]))
+        return bc[i] > cores + 3
+
     passes = []
     cals = []
     la_per_pass = []
+    low_reruns = 0
     for _ in range(n_passes):
         la_p = wait_quiet()
         c_l = calibrate(low)
         r_l = run_level(spec_low, low, n_docs)
+        if _neighbor_hit(r_l, low):
+            # objective, ratio-blind contamination signal → one rerun
+            print(f"NOTE: low-level best run saw busy cores "
+                  f"{r_l['busy_cores_per_run']} > {low}+3; rerunning",
+                  file=sys.stderr)
+            low_reruns += 1
+            wait_quiet()
+            r_l2 = run_level(spec_low, low, n_docs)
+            if not _neighbor_hit(r_l2, low) or r_l2["sec"] < r_l["sec"]:
+                r_l = r_l2
         c_h = calibrate(high)
         r_h = run_level(spec_high, high, n_docs)
         passes.append((r_l, r_h))
@@ -298,6 +325,7 @@ def main() -> None:
               "scaling_efficiency_hw_normalized": round(eff_norm, 3),
               "scaling_efficiency_hw_normalized_per_pass":
                   [round(e, 3) for e in norm_per_pass],
+              "low_level_neighbor_reruns": low_reruns,
               "loadavg_at_calib": la0,
               "loadavg_at_start": la_per_pass[0],
               "loadavg_per_pass": la_per_pass,

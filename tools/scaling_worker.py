@@ -122,9 +122,21 @@ def main() -> None:
             n_loops += 1
         return n_loops / sec
 
+    def _cpu_busy_ticks() -> int:
+        """Host-wide non-idle jiffies (all CPUs): /proc/stat counts every
+        container on this box, so during OUR pinned c-core run a mean
+        busy-core figure well above c is direct, non-circular evidence of
+        neighbor activity inside the timed window."""
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v) - v[3] - v[4]        # minus idle, iowait
+
+    tick_hz = os.sysconf("SC_CLK_TCK")
+
     times = []
     loads = []
     probes = []
+    busy_cores = []
     # corpus size is a constant of the input, not of a timed run —
     # counted once OUTSIDE the loop (footer-metadata job; inside the
     # loop it was pure fixed overhead, felt 4x harder at the high level)
@@ -153,6 +165,7 @@ def main() -> None:
         probes.append(round(p, 1))
         with open("/proc/loadavg") as f:
             la_pre = float(f.read().split()[0])
+        busy0 = _cpu_busy_ticks()
         t0 = time.monotonic()
         # cache off + claims action = exactly ONE execution of the UDF
         # stage per timed run (docs.count() would branch the plan twice;
@@ -162,7 +175,10 @@ def main() -> None:
                            repartition=repartition,
                            cache_intermediate=False)
         res.claims.count()
-        times.append(time.monotonic() - t0)
+        elapsed = time.monotonic() - t0
+        times.append(elapsed)
+        busy_cores.append(
+            round((_cpu_busy_ticks() - busy0) / tick_hz / elapsed, 1))
         with open("/proc/loadavg") as f:
             la_post = float(f.read().split()[0])
         loads.append([la_pre, la_post])
@@ -172,6 +188,7 @@ def main() -> None:
                       "scan_partitions": web.rdd.getNumPartitions(),
                       "docs_per_sec": round(n / dt, 2),
                       "all_runs_sec": [round(t, 3) for t in times],
+                      "busy_cores_per_run": busy_cores,
                       "loadavg_per_run": loads,
                       "probe_loops_per_run": probes}))
     spark.stop()
