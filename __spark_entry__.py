@@ -1147,11 +1147,13 @@ def q_retry_batches(spark, sf):
 
 
 def q_micro_ops(spark, sf):
-    """C12 slug/session + §2.12 format analysis + O5 retry batching in
-    ONE graded query (VERDICT r4 item 3 — merged so the 50-slot
-    registry frees room for pq_adc_topk / dedup_verdict). Same pattern
-    as field_normalize: one row per (kind, key); the typed columns a
-    kind doesn't produce stay NULL."""
+    """C12 slug/session + §2.12 format analysis + O5 retry batching +
+    F5 watermark detection in ONE graded query (VERDICT r4 item 3 /
+    r5 item 1 — merged so the 50-slot registry frees room for
+    pq_ivfpq_topk / dedup_verdict / scrub_ops). Same pattern as
+    field_normalize: one row per (kind, key); the typed columns a kind
+    doesn't produce stay NULL (the watermark kind's verdict IS its
+    key)."""
     def aligned(df, kind, key, **cols):
         typed = {
             "filename": F.lit(None).cast("string"),
@@ -1184,7 +1186,9 @@ def q_micro_ops(spark, sf):
                      F.col("batch_no").cast("string")),
             claim_ids=F.col("claim_ids"),
             batch_size=F.col("batch_size"),
-            max_retries=F.col("max_retries"))))
+            max_retries=F.col("max_retries")))
+        .unionByName(aligned(
+            q_watermark_detect(spark, sf), "watermark", F.col("line"))))
 
 
 #: PQ geometry for the graded ADC query: dim 8, m=4 slices of sub=2,
@@ -1201,12 +1205,31 @@ def _pq_centroid(s: int, b: int) -> list[float]:
     return [0.1 * (s + 1) + 0.25 * b, 0.2 * (b + 1) - 0.05 * s]
 
 
-def q_pq_adc_topk(spark, sf):
-    """Asymmetric-distance (ADC) top-10 over a PQ codes table via the
-    REAL query-phase operator (:func:`ann.pq_topk` — reads codes, never
-    vectors, no re-encoding). Codes per vec: codes[s] = (vec_id +
-    (vec_id % 7)·(s+1) + s) mod 4."""
-    from insurance_pdf_extractor_spark.ann import pq_topk
+#: coarse-IVF fixture geometry for the composed query: 4 coarse buckets,
+#: deterministic assignment bucket = vec_id % 4, centroids DETERMINISTIC
+#: ARITHMETIC over (bucket, dim) so DuckDB reconstructs the same coarse
+#: ranking the real ivfpq_topk computes.
+_IVF_NB = 4
+
+
+def _ivf_centroid(b: int) -> list[float]:
+    return [0.2 * b + 0.1 * (d + 1) for d in range(_PQ_M * _PQ_SUB)]
+
+
+def q_pq_ivfpq_topk(spark, sf):
+    """Two graded ANN query phases, kind-tagged (VERDICT r5 item 5):
+
+    - kind='adc': asymmetric-distance top-10 over a PQ codes table via
+      the REAL query-phase operator (:func:`ann.pq_topk` — reads codes,
+      never vectors, no re-encoding). Codes per vec: codes[s] = (vec_id
+      + (vec_id % 7)·(s+1) + s) mod 4.
+    - kind='ivfpq': the COMPOSED :func:`ann.ivfpq_topk` end-to-end —
+      coarse centroid ranking → top-2 bucket left-semi prune → ADC over
+      just those buckets' stored codes — on the same codes fixture with
+      a deterministic bucket assignment (vec_id % 4) and arithmetic
+      coarse centroids, so the whole composition is DuckDB-expressible.
+    """
+    from insurance_pdf_extractor_spark.ann import ivfpq_topk, pq_topk
     emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 500)
     codes = emb.select("vec_id", F.array(*[
         ((F.col("vec_id") + (F.col("vec_id") % 7) * (s + 1) + s)
@@ -1216,7 +1239,17 @@ def q_pq_adc_topk(spark, sf):
         [(s, b, _pq_centroid(s, b))
          for s in range(_PQ_M) for b in range(_PQ_K)],
         "slice_no int, bucket int, centroid array<double>")
-    return pq_topk(codes, books, _PQ_QVEC, k=10)
+    adc = pq_topk(codes, books, _PQ_QVEC, k=10)
+    cents = spark.createDataFrame(
+        [(b, _ivf_centroid(b)) for b in range(_IVF_NB)],
+        "bucket int, centroid array<double>")
+    index = codes.withColumn(
+        "bucket", (F.col("vec_id") % _IVF_NB).cast("int"))
+    comp = ivfpq_topk(index, cents, books, _PQ_QVEC, k=10, n_probes=2)
+    return (adc.select(F.lit("adc").alias("kind"), "vec_id",
+                       "approx_dist")
+            .unionByName(comp.select(F.lit("ivfpq").alias("kind"),
+                                     "vec_id", "approx_dist")))
 
 
 #: candidate-pair fixture for the graded keeper election: a diameter-6
@@ -1229,17 +1262,26 @@ _DEDUP_PAIRS = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
 
 
 def q_dedup_verdict(spark, sf):
-    """G5/dedup keeper election via the REAL clustering operator
-    (:func:`dedup.dedup_documents`: pointer-jumping connected
-    components, cluster_id = min reachable id, keeper = min id per
-    cluster, singletons kept) over a fixed candidate-pair fixture on
-    documents doc_id < 40."""
+    """G5/dedup keeper election via BOTH real clustering operators
+    (:func:`dedup.dedup_documents` with algorithm='label' —
+    pointer-jumping min-label propagation — and algorithm='star' —
+    Kiveris et al. small-star/large-star; VERDICT r5 item 5: the star
+    variant was pytest-only), algorithm-tagged, over a fixed
+    candidate-pair fixture on documents doc_id < 40. cluster_id = min
+    reachable id, keeper = min id per cluster, singletons kept — the
+    two algorithms must agree row-for-row with the oracle's
+    recursive-CTE transitive closure."""
     from insurance_pdf_extractor_spark.dedup import dedup_documents
     docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 40)
             .select("doc_id"))
     pairs = _values_df(spark, _DEDUP_PAIRS, ["doc_a", "doc_b"])
-    return dedup_documents(docs, pairs).select(
-        "doc_id", "cluster_id", "is_keeper")
+    out = None
+    for alg in ("label", "star"):
+        v = dedup_documents(docs, pairs, algorithm=alg).select(
+            F.lit(alg).alias("algorithm"),
+            "doc_id", "cluster_id", "is_keeper")
+        out = v if out is None else out.unionByName(v)
+    return out
 
 
 _WM_VALUES = [
@@ -1262,6 +1304,57 @@ def q_watermark_detect(spark, sf):
             .join(F.broadcast(totals))
             .where(F.col("n_pages") == F.col("_total_pages"))
             .select("line"))
+
+
+#: PII fixture: every pattern type, plus the two overlap traps the
+#: most-specific-first ordering exists for (an SSN that a phone pattern
+#: could half-eat; a 16-digit card that contains phone-shaped runs).
+_PII_VALUES = [
+    (1, "Contact Jane Doe at jane.doe+claims@example.com or call "
+        "555-123-4567."),
+    (2, "SSN 123-45-6789 on file; backup phone (415) 555-0199."),
+    (3, "Card 4111 1111 1111 1111 charged from 192.168.1.100."),
+    (4, "No sensitive data here, just a claim for $1,200."),
+    (5, "Two emails: a@b.co and x_y%z@mail.example.org; ip 10.0.0.1."),
+    (6, "Overlap: 123-45-6789 is an SSN, not the phone 123-456-7890."),
+    (7, "Card without separators 4111111111111111 and 1-800-555-0123 "
+        "hotline."),
+]
+
+
+def q_scrub_ops(spark, sf):
+    """PII scrubbing + Gopher repetition screening in ONE graded query
+    (VERDICT r5 item 1 — the component COVERAGE.md promised), kind-
+    tagged like micro_ops:
+
+    - kind='pii': :func:`scrub.scrub_pii` over the PII fixture — the
+      scrubbed text plus the per-type counts flattened from the
+      ``pii_counts`` map (chained JVM regexp ops, most-specific-first).
+    - kind='ngram': :func:`scrub.repeated_ngram_stats` over documents
+      doc_id < 200 — the most frequent word 2-gram per doc and the
+      fraction of characters it covers (the template/spam signal).
+    """
+    from insurance_pdf_extractor_spark.scrub import (
+        PII_PATTERNS, repeated_ngram_stats, scrub_pii)
+    names = [n for n, _, _ in PII_PATTERNS]
+    pii = scrub_pii(_values_df(spark, _PII_VALUES, ["id", "text"])).select(
+        F.lit("pii").alias("kind"),
+        F.col("id").cast("string").alias("key"),
+        F.col("text_scrubbed"),
+        *[F.element_at("pii_counts", n).cast("long").alias(f"n_{n}")
+          for n in names],
+        F.lit(None).cast("string").alias("top_ngram"),
+        F.lit(None).cast("long").alias("top_count"),
+        F.lit(None).cast("double").alias("top_char_frac"))
+    docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 200)
+            .select("doc_id", "text"))
+    ng = repeated_ngram_stats(docs).select(
+        F.lit("ngram").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("text_scrubbed"),
+        *[F.lit(None).cast("long").alias(f"n_{n}") for n in names],
+        "top_ngram", "top_count", "top_char_frac")
+    return pii.unionByName(ng)
 
 
 def q_embedding_near_dup(spark, sf):
@@ -1343,7 +1436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-corpus ops
         "latest_snapshot_per_url": q_latest_snapshot_per_url,
         "url_normalize": q_url_normalize,
-        "watermark_detect": q_watermark_detect,
+        # PII scrubbing + repetition screening (r6; watermark_detect
+        # folded into micro_ops to free this slot)
+        "scrub_ops": q_scrub_ops,
         "embedding_near_dup": q_embedding_near_dup,
         # discovery rules (r3)
         "claim_discovery": q_claim_discovery,
@@ -1389,12 +1484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "chunk_plan": q_chunk_plan,
         "chunk_integrity": q_chunk_integrity,
-        # C12 slug/session + format analysis + retry batching, merged
-        # (VERDICT r4 item 3) to free slots for the two entries below
+        # C12 slug/session + format analysis + retry batching +
+        # watermark detection, merged (VERDICT r4 item 3 / r5 item 1)
+        # to free slots for pq/dedup/scrub entries
         "micro_ops": q_micro_ops,
-        # PQ asymmetric-distance scoring (the IVF-PQ query phase)
-        "pq_adc_topk": q_pq_adc_topk,
-        # connected-components keeper election on a fixed pair fixture
+        # PQ ADC scoring + the composed IVF×PQ query, kind-tagged
+        "pq_ivfpq_topk": q_pq_ivfpq_topk,
+        # keeper election, BOTH CC algorithms, on a fixed pair fixture
         "dedup_verdict": q_dedup_verdict,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize_events": q_sessionize_events,
@@ -1687,7 +1783,17 @@ def _micro_ops_sql() -> str:
     return f"""
             WITH slug AS ({_slug_session_sql()}),
             fmt AS ({_format_analysis_sql()}),
-            rb AS ({_retry_batches_sql()})
+            rb AS ({_retry_batches_sql()}),
+            wm AS (
+              WITH pages AS (
+                SELECT * FROM {_values_sql(_WM_VALUES,
+                                           ['page_no', 'line'])})
+              SELECT line FROM pages
+              WHERE length(line) >= 4
+              GROUP BY line
+              HAVING count(DISTINCT page_no) =
+                     (SELECT count(DISTINCT page_no) FROM pages)
+            )
             SELECT 'slug' AS kind, CAST(doc_id AS VARCHAR) AS key,
                    {cols({'filename', 'file_slug', 'session_id'})}
             FROM slug
@@ -1699,14 +1805,18 @@ def _micro_ops_sql() -> str:
             UNION ALL
             SELECT 'retry', url || '#' || batch_no,
                    {cols({'claim_ids', 'batch_size', 'max_retries'})}
-            FROM rb"""
+            FROM rb
+            UNION ALL
+            SELECT 'watermark', line, {cols(set())}
+            FROM wm"""
 
 
-def _pq_adc_topk_sql() -> str:
-    """ADC reconstruction: same arithmetic codes + centroids, distance
-    table joined to exploded codes, per-vec sum, top-10. Float literals
-    CAST AS DOUBLE (DuckDB VALUES infer DECIMAL — exact arithmetic would
-    diverge from Spark's IEEE doubles)."""
+def _pq_ivfpq_topk_sql() -> str:
+    """ADC + composed IVF×PQ reconstruction: same arithmetic codes +
+    PQ centroids; the ivfpq kind additionally reconstructs the coarse
+    centroid ranking → top-2 bucket prune over bucket = vec_id % 4.
+    Float literals CAST AS DOUBLE (DuckDB VALUES infer DECIMAL — exact
+    arithmetic would diverge from Spark's IEEE doubles)."""
     qs = ", ".join(
         f"({s}, CAST({_PQ_QVEC[s * _PQ_SUB]!r} AS DOUBLE), "
         f"CAST({_PQ_QVEC[s * _PQ_SUB + 1]!r} AS DOUBLE))"
@@ -1715,6 +1825,14 @@ def _pq_adc_topk_sql() -> str:
         f"({s}, {b}, CAST({_pq_centroid(s, b)[0]!r} AS DOUBLE), "
         f"CAST({_pq_centroid(s, b)[1]!r} AS DOUBLE))"
         for s in range(_PQ_M) for b in range(_PQ_K))
+    # coarse centroids as (bucket, pos, val) rows; the full query vector
+    # as (pos, qval) rows — the coarse distance is a per-bucket sum
+    dim = _PQ_M * _PQ_SUB
+    coarse = ", ".join(
+        f"({b}, {d}, CAST({_ivf_centroid(b)[d]!r} AS DOUBLE))"
+        for b in range(_IVF_NB) for d in range(dim))
+    qfull = ", ".join(f"({d}, CAST({_PQ_QVEC[d]!r} AS DOUBLE))"
+                      for d in range(dim))
     return f"""
             WITH qs(slice_no, q1, q2) AS (VALUES {qs}),
             books(slice_no, bucket, c1, c2) AS (VALUES {cents}),
@@ -1732,15 +1850,39 @@ def _pq_adc_topk_sql() -> str:
               SELECT vec_id, round(sum(dq), 6) AS approx_dist
               FROM codes JOIN dq USING (slice_no, bucket)
               GROUP BY vec_id
+            ),
+            coarse(cbucket, pos, val) AS (VALUES {coarse}),
+            qfull(pos, qval) AS (VALUES {qfull}),
+            dc AS (
+              SELECT cbucket, sum((val - qval) * (val - qval)) AS dcv
+              FROM coarse JOIN qfull USING (pos) GROUP BY cbucket
+            ),
+            probes AS (
+              SELECT cbucket FROM dc ORDER BY dcv ASC, cbucket ASC
+              LIMIT 2
+            ),
+            iscored AS (
+              SELECT vec_id, round(sum(dq), 6) AS approx_dist
+              FROM codes JOIN dq USING (slice_no, bucket)
+              WHERE CAST(vec_id % {_IVF_NB} AS INT)
+                    IN (SELECT cbucket FROM probes)
+              GROUP BY vec_id
             )
-            SELECT vec_id, approx_dist FROM scored
-            ORDER BY approx_dist ASC, vec_id ASC LIMIT 10"""
+            SELECT 'adc' AS kind, vec_id, approx_dist FROM (
+              SELECT vec_id, approx_dist FROM scored
+              ORDER BY approx_dist ASC, vec_id ASC LIMIT 10)
+            UNION ALL
+            SELECT 'ivfpq', vec_id, approx_dist FROM (
+              SELECT vec_id, approx_dist FROM iscored
+              ORDER BY approx_dist ASC, vec_id ASC LIMIT 10)"""
 
 
 def _dedup_verdict_sql() -> str:
     """Transitive-closure twin of dedup_documents: min reachable id per
     node via a recursive CTE (fixture graphs are tiny; the Spark side is
-    the distributed pointer-jumping operator)."""
+    the distributed operator). The closure truth is computed ONCE and
+    cross-joined with the two algorithm tags — both distributed
+    implementations must reproduce it exactly (VERDICT r5 item 5)."""
     vals = ", ".join(f"({a}, {b})" for a, b in _DEDUP_PAIRS)
     return f"""
             WITH RECURSIVE p(a, b) AS (VALUES {vals}),
@@ -1758,12 +1900,82 @@ def _dedup_verdict_sql() -> str:
               SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
               FROM reach GROUP BY id
             )
-            SELECT d.doc_id,
+            SELECT alg.algorithm, d.doc_id,
                    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                    d.doc_id = coalesce(c.cluster_id, d.doc_id)
                        AS is_keeper
             FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
-            LEFT JOIN comp c ON d.doc_id = c.doc_id"""
+            LEFT JOIN comp c ON d.doc_id = c.doc_id
+            CROSS JOIN (VALUES ('label'), ('star')) AS alg(algorithm)"""
+
+
+def _scrub_ops_sql() -> str:
+    """Oracle twin of q_scrub_ops, built from the SAME PII_PATTERNS
+    list (a silently-diverging regex copy would defeat the gate): the
+    chained redaction is re-chained in SQL (regexp_replace ... 'g' —
+    DuckDB replaces first-only by default), counts via
+    len(regexp_extract_all) on the progressively-scrubbed text; the
+    repetition screen is rebuilt with list comprehensions over
+    string_split_regex, LEFT JOINed back so sub-2-word docs keep their
+    (NULL, 0, 0.0) row like explode_outer does."""
+    from insurance_pdf_extractor_spark.scrub import PII_PATTERNS
+    expr = "text"
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}")
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    names = [n for n, _, _ in PII_PATTERNS]
+    null_counts = ", ".join(f"CAST(NULL AS BIGINT) AS n_{n}"
+                            for n in names)
+    return f"""
+            WITH pii_src AS (
+              SELECT * FROM {_values_sql(_PII_VALUES, ['id', 'text'])}
+            ), pii AS (
+              SELECT id, {expr} AS text_scrubbed,
+                     {', '.join(counts)}
+              FROM pii_src
+            ), d AS (
+              SELECT doc_id, text, length(text) AS tl
+              FROM documents WHERE doc_id < 200
+            ), w AS (
+              SELECT doc_id, tl,
+                     string_split_regex(trim(text), '\\s+') AS words
+              FROM d
+            ), g AS (
+              SELECT doc_id, tl,
+                     unnest([words[i] || ' ' || words[i+1]
+                             for i in range(1, len(words))]) AS gram
+              FROM w
+            ), c AS (
+              SELECT doc_id, tl, gram, count(*) AS cnt
+              FROM g GROUP BY doc_id, tl, gram
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, gram ASC) AS rn
+              FROM c
+            ), ng AS (
+              SELECT d.doc_id, r.gram AS top_ngram,
+                     CAST(coalesce(r.cnt, 0) AS BIGINT) AS top_count,
+                     CASE WHEN r.gram IS NOT NULL AND d.tl > 0
+                          THEN round(r.cnt * length(r.gram) / d.tl, 4)
+                          ELSE 0.0 END AS top_char_frac
+              FROM d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+              ON d.doc_id = r.doc_id
+            )
+            SELECT 'pii' AS kind, CAST(id AS VARCHAR) AS key,
+                   text_scrubbed,
+                   {', '.join(f'n_{n}' for n in names)},
+                   CAST(NULL AS VARCHAR) AS top_ngram,
+                   CAST(NULL AS BIGINT) AS top_count,
+                   CAST(NULL AS DOUBLE) AS top_char_frac
+            FROM pii
+            UNION ALL
+            SELECT 'ngram', CAST(doc_id AS VARCHAR),
+                   CAST(NULL AS VARCHAR), {null_counts},
+                   top_ngram, top_count, top_char_frac
+            FROM ng"""
 
 
 def _finval_sql() -> str:
@@ -2269,14 +2481,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          unnest(range(1, length(text) + 1, 80)) AS start
                   FROM documents WHERE doc_id < 20)""",
-        "watermark_detect": f"""
-            WITH pages AS (
-              SELECT * FROM {_values_sql(_WM_VALUES, ['page_no', 'line'])})
-            SELECT line FROM pages
-            WHERE length(line) >= 4
-            GROUP BY line
-            HAVING count(DISTINCT page_no) =
-                   (SELECT count(DISTINCT page_no) FROM pages)""",
+        "scrub_ops": _scrub_ops_sql(),
         "embedding_near_dup": """
             WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200),
             pairs AS (
@@ -2316,7 +2521,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1""",
         "url_normalize": _url_normalize_sql(),
         "micro_ops": _micro_ops_sql(),
-        "pq_adc_topk": _pq_adc_topk_sql(),
+        "pq_ivfpq_topk": _pq_ivfpq_topk_sql(),
         "dedup_verdict": _dedup_verdict_sql(),
         "sessionize_events": """
             WITH o AS (

@@ -102,8 +102,10 @@ class TestPipelineShape:
         size-balanced splits, repartition='auto' must NOT shuffle the
         fat binary column — the only Exchange in the claims plan is the
         tiny post-UDF window exchange, and nothing below the
-        MapInPandas. This is the shape the scaling bench measures with
-        SCALING_REPARTITION=auto."""
+        MapInPandas. The scaling bench can opt into this shape with
+        SCALING_REPARTITION=auto (its default and the recorded
+        BENCH/scaling.json artifact use the explicit "always"
+        shuffle)."""
         from insurance_pdf_extractor_spark.fixtures import (
             write_web_pages_parquet)
         from insurance_pdf_extractor_spark.pipeline import run_pipeline
@@ -147,7 +149,7 @@ class TestLazyBuilders:
         for t in ("lineitem", "supplier", "documents", "embeddings",
                   "orders"):
             E._t(spark, SF, t)
-        for name in ("watermark_detect", "set_diff_both_ways",
+        for name in ("scrub_ops", "set_diff_both_ways",
                      "ngram_jaccard_pairs", "minhash_signatures",
                      "lsh_band_pairs", "topk_orders"):
             group = f"builder-{name}"
@@ -251,11 +253,12 @@ class TestR5OperatorPlans:
         assert plan.count("FileScan parquet") == 2
 
     def test_pq_adc_topk_prunes_vector_column(self, spark):
-        """The graded ADC query builds codes from vec_id arithmetic —
-        the embeddings scan must prune the fat vector column, and the
-        distance table must come in as a broadcast join."""
+        """The graded ADC + composed IVF×PQ query builds codes from
+        vec_id arithmetic — every embeddings scan must prune the fat
+        vector column, and the distance table must come in as a
+        broadcast join."""
         import __spark_entry__ as E
-        df = E.queries()["pq_adc_topk"](spark, SF)
+        df = E.queries()["pq_ivfpq_topk"](spark, SF)
         plan = _plan(df)
         scan = [ln for ln in plan.splitlines()
                 if "FileScan" in ln and "embeddings" in ln]
@@ -266,18 +269,28 @@ class TestR5OperatorPlans:
     def test_dedup_verdict_keeper_election(self, spark):
         """Fixture graph: chain 1-7, triangle 10-12, pair 20-21, star
         30-33 → 4 multi-clusters + 30 singletons; exactly one keeper
-        (the min id) per cluster."""
+        (the min id) per cluster — from BOTH algorithms (r6: the graded
+        entry runs label propagation AND small-star/large-star)."""
         import __spark_entry__ as E
         rows = E.queries()["dedup_verdict"](spark, SF).collect()
-        assert len(rows) == 40
-        by_cluster = {}
+        assert len(rows) == 80
+        by_alg = {"label": [], "star": []}
         for r in rows:
-            by_cluster.setdefault(r["cluster_id"], []).append(r)
-        for cid, members in by_cluster.items():
-            keepers = [m for m in members if m["is_keeper"]]
-            assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
-        assert sorted(m["doc_id"] for m in by_cluster[1]) == [1, 2, 3,
-                                                              4, 5, 6, 7]
-        assert sorted(m["doc_id"] for m in by_cluster[30]) == [30, 31,
-                                                               32, 33]
-        assert len(by_cluster) == 28  # 4 multi + 24 singletons
+            by_alg[r["algorithm"]].append(r)
+        for alg, arows in by_alg.items():
+            assert len(arows) == 40, alg
+            by_cluster = {}
+            for r in arows:
+                by_cluster.setdefault(r["cluster_id"], []).append(r)
+            for cid, members in by_cluster.items():
+                keepers = [m for m in members if m["is_keeper"]]
+                assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+            assert sorted(m["doc_id"] for m in by_cluster[1]) == [
+                1, 2, 3, 4, 5, 6, 7]
+            assert sorted(m["doc_id"] for m in by_cluster[30]) == [
+                30, 31, 32, 33]
+            assert len(by_cluster) == 28  # 4 multi + 24 singletons
+        # the two algorithms agree row-for-row
+        key = lambda r: (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        assert sorted(map(key, by_alg["label"])) == sorted(
+            map(key, by_alg["star"]))

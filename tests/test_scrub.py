@@ -1,0 +1,139 @@
+"""PII scrubbing + repetition screening (scrub.py).
+
+Reference anchor: the quality/filter family of SURVEY.md §2.2 (F5-F7)
+and the builder brief's text-analysis mandate — the reference engine has
+no PII pass (its docs go to a paid API verbatim); a training-data
+pipeline cannot ship without one.
+"""
+
+import pytest
+
+from insurance_pdf_extractor_spark.scrub import (
+    PII_PATTERNS, repeated_ngram_stats, scrub_pii)
+
+_PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+               "FlatMapGroupsInPandas")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def scrubbed(spark):
+    rows = [
+        (1, "mail jane.doe+claims@example.com, call 555-123-4567."),
+        (2, "SSN 123-45-6789 on file; backup phone (415) 555-0199."),
+        (3, "Card 4111 1111 1111 1111 charged from 192.168.1.100."),
+        (4, "No sensitive data here, just a claim for $1,200."),
+        (5, "Overlap: 123-45-6789 is an SSN, not phone 123-456-7890."),
+        (6, "Card without separators 4111111111111111 and 1-800-555-0123."),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = scrub_pii(df)
+    return {r["id"]: r for r in out.collect()}, out
+
+
+class TestScrubPii:
+    def test_email_and_phone(self, scrubbed):
+        r = scrubbed[0][1]
+        assert r["text_scrubbed"] == "mail [EMAIL], call [PHONE]."
+        assert r["pii_counts"]["email"] == 1
+        assert r["pii_counts"]["phone"] == 1
+
+    def test_ssn_never_half_eaten_by_phone(self, scrubbed):
+        """Most-specific-first: 123-45-6789 is one [SSN] token, not a
+        phone-pattern partial match; the genuine phone in the same doc
+        still redacts."""
+        r = scrubbed[0][5]
+        assert "[SSN]" in r["text_scrubbed"]
+        assert "[PHONE]" in r["text_scrubbed"]
+        assert r["pii_counts"]["ssn"] == 1
+        assert r["pii_counts"]["phone"] == 1
+        # no digits of the SSN survive
+        assert "45" not in r["text_scrubbed"]
+
+    def test_card_before_phone(self, scrubbed):
+        """A 16-digit card (spaced or contiguous) is one [CARD] token —
+        the looser phone pattern never eats a 10-digit slice of it."""
+        for doc, expect_ip in ((3, True), (6, False)):
+            r = scrubbed[0][doc]
+            assert r["pii_counts"]["card"] == 1
+            assert "[CARD]" in r["text_scrubbed"]
+        assert scrubbed[0][3]["pii_counts"]["ip"] == 1
+        assert scrubbed[0][6]["pii_counts"]["phone"] == 1  # 1-800 number
+
+    def test_clean_doc_untouched(self, scrubbed):
+        r = scrubbed[0][4]
+        assert r["text_scrubbed"] == r["text"]
+        assert all(v == 0 for v in r["pii_counts"].values())
+
+    def test_null_text(self, scrubbed):
+        r = scrubbed[0][7]
+        assert r["text_scrubbed"] is None
+        assert all(v == 0 for v in r["pii_counts"].values())
+
+    def test_counts_cover_every_pattern(self, scrubbed):
+        names = {n for n, _, _ in PII_PATTERNS}
+        assert set(scrubbed[0][1]["pii_counts"].keys()) == names
+
+    def test_plan_is_udf_free(self, scrubbed):
+        plan = _plan(scrubbed[1])
+        assert not any(m in plan for m in _PY_MARKERS), plan
+
+
+class TestRepeatedNgramStats:
+    def test_template_doc_flagged(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam unique tail")],
+            "doc_id int, text string")
+        r = repeated_ngram_stats(df).first()
+        assert r["top_ngram"] == "spam spam"
+        assert r["top_count"] == 3
+        # 3 occurrences x 9 chars / 31 chars
+        assert r["top_char_frac"] == pytest.approx(27 / 31, abs=1e-4)
+
+    def test_tie_breaks_to_smallest_gram(self, spark):
+        df = spark.createDataFrame([(1, "b a b a")],
+                                   "doc_id int, text string")
+        r = repeated_ngram_stats(df).first()
+        # 'b a' x2, 'a b' x1 -> count wins first; and a genuine tie:
+        df2 = spark.createDataFrame([(2, "x y z")],
+                                    "doc_id int, text string")
+        r2 = repeated_ngram_stats(df2).first()
+        assert r2["top_ngram"] == "x y"  # 'x y' < 'y z', both count 1
+        assert r["top_ngram"] == "b a"
+
+    def test_short_and_empty_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, None)], "doc_id int, text string")
+        rows = {r["doc_id"]: r for r in repeated_ngram_stats(df).collect()}
+        for i in (1, 2, 3):
+            assert rows[i]["top_ngram"] is None
+            assert rows[i]["top_count"] == 0
+            assert rows[i]["top_char_frac"] == 0.0
+
+    def test_trigram_mode(self, spark):
+        df = spark.createDataFrame([(1, "a b c a b c a b c")],
+                                   "doc_id int, text string")
+        r = repeated_ngram_stats(df, n=3).first()
+        assert r["top_ngram"] == "a b c"
+        assert r["top_count"] == 3
+
+    def test_plan_is_udf_free(self, spark):
+        df = spark.createDataFrame([(1, "a b a b")],
+                                   "doc_id int, text string")
+        plan = _plan(repeated_ngram_stats(df))
+        assert not any(m in plan for m in _PY_MARKERS), plan
+
+    def test_one_shuffle_for_the_gram_agg(self, spark):
+        """The (doc, gram) aggregation is the only exchange below the
+        per-doc window (map-side partial agg applies); no join, no
+        second explode."""
+        df = spark.createDataFrame([(1, "a b a b")],
+                                   "doc_id int, text string")
+        plan = _plan(repeated_ngram_stats(df))
+        assert "Generate" in plan          # the explode
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
