@@ -336,16 +336,23 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, q_vec: list[float],
 def ivfpq_build(emb: DataFrame, n_clusters: int = 8, m: int = 8,
                 k: int = 16, kmeans_iter: int = 10, pq_iter: int = 6,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                train_sample: float | None = None
+                train_sample: float | None = None,
+                inertia_out: list | None = None
                 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """BUILD an IVF-PQ index: returns (coarse centroids, PQ codebooks,
     index) where index = (vec_id, bucket, codes). Callers persist all
     three (the first two are tiny broadcast tables; the index is the
     per-row store, at cluster scale written partitioned/bucketed by
-    ``bucket`` so a probe scans only its buckets' files)."""
-    cents, _ = kmeans_train(emb, k=n_clusters, max_iter=kmeans_iter,
-                            vec_col=vec_col, id_col=id_col,
-                            train_sample=train_sample)
+    ``bucket`` so a probe scans only its buckets' files).
+
+    ``inertia_out``: optional list the coarse k-means inertia history
+    is appended to (VERDICT r5 item 6: callers wanting convergence
+    diagnostics previously had to re-run the whole training job)."""
+    cents, hist = kmeans_train(emb, k=n_clusters, max_iter=kmeans_iter,
+                               vec_col=vec_col, id_col=id_col,
+                               train_sample=train_sample)
+    if inertia_out is not None:
+        inertia_out.extend(hist)
     books = pq_train(emb, m=m, k=k, max_iter=pq_iter, vec_col=vec_col,
                      id_col=id_col)
     bucketed = assign_buckets(emb, cents, vec_col=vec_col, id_col=id_col)

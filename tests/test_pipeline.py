@@ -675,3 +675,88 @@ class TestQualityDedupInteraction:
         staging = out / "_staging"
         assert not (staging / "clean1_sig").exists()
         assert not (staging / "clean1").exists()
+
+
+class TestSignatureStoreMaintenance:
+    """VERDICT r5 item 4: bounded small-file accretion in signatures/
+    plus the backfill path for mixed-history output dirs."""
+
+    @staticmethod
+    def _sig_files(out):
+        root = os.path.join(str(out), "signatures")
+        return [os.path.join(b, f) for b, _, fs in os.walk(root)
+                for f in fs if f.endswith(".parquet")]
+
+    def test_append_is_one_file_per_band_per_run(self, spark, web_pages,
+                                                 tmp_path):
+        """Each incremental dedup run appends exactly ONE data file per
+        band partition (the repartition-on-band_no compaction) — not one
+        per staging task per band."""
+        from insurance_pdf_extractor_spark.dedup import LSH_BANDS
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        out = tmp_path / "out"
+        run_pipeline(spark, web_pages.limit(10), output_dir=str(out),
+                     run_id="s1", dedup="minhash-lsh")
+        n1 = len(self._sig_files(out))
+        assert n1 <= LSH_BANDS
+        # second delta: disjoint urls so every doc is new
+        from pyspark.sql import functions as F
+        delta = (web_pages.limit(10)
+                 .withColumn("url", F.concat("url", F.lit("?r2x"))))
+        run_pipeline(spark, delta, output_dir=str(out), run_id="s2",
+                     dedup="minhash-lsh")
+        n2 = len(self._sig_files(out))
+        assert n2 - n1 <= LSH_BANDS          # bounded growth per run
+        assert n2 <= 2 * LSH_BANDS
+
+    def test_compact_signatures_rewrites_to_one_file_per_band(
+            self, spark, web_pages, tmp_path):
+        from tools.dedup_job import compact_signatures
+        from insurance_pdf_extractor_spark.dedup import LSH_BANDS
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        from pyspark.sql import functions as F
+        out = tmp_path / "out"
+        for i in range(3):
+            delta = (web_pages.limit(6)
+                     .withColumn("url", F.concat("url", F.lit(f"?c{i}"))))
+            run_pipeline(spark, delta, output_dir=str(out),
+                         run_id=f"c{i}", dedup="minhash-lsh")
+        sig_path = os.path.join(str(out), "signatures")
+        before = spark.read.parquet(sig_path).count()
+        rep = compact_signatures(spark, str(out))
+        assert rep["rows"] == before
+        files = self._sig_files(out)
+        assert 0 < len(files) <= LSH_BANDS
+        assert spark.read.parquet(sig_path).count() == before
+        # the table still serves the cross-run probe
+        run_pipeline(spark, web_pages.limit(6).withColumn(
+            "url", F.concat("url", F.lit("?c0"))), output_dir=str(out),
+            run_id="post", dedup="minhash-lsh")
+
+    def test_backfill_makes_predup_history_visible(self, spark,
+                                                   web_pages, tmp_path):
+        """A doc committed by a NON-dedup run must, after
+        --backfill-signatures, suppress a later near-duplicate offered
+        to a dedup run (the pipeline.py docstring's blind spot)."""
+        from tools.dedup_job import backfill_signatures
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        from pyspark.sql import functions as F
+        out = tmp_path / "out"
+        base = web_pages.limit(10)
+        run_pipeline(spark, base, output_dir=str(out), run_id="pre",
+                     dedup=None)                   # no signatures
+        assert not os.path.exists(os.path.join(str(out), "signatures"))
+        rep = backfill_signatures(
+            spark, os.path.join(str(out), "docs"), str(out))
+        assert rep["backfilled_docs"] == 10
+        # idempotent: second backfill bands nothing
+        rep2 = backfill_signatures(
+            spark, os.path.join(str(out), "docs"), str(out))
+        assert rep2["backfilled_docs"] == 0
+        # near-dups of the pre-dedup-era docs now drop
+        twins = base.withColumn("url", F.concat("url", F.lit("?bf")))
+        r = run_pipeline(spark, twins, output_dir=str(out), run_id="bf",
+                         dedup="minhash-lsh")
+        kept = {row["url"] for row in r.docs.select("url").collect()
+                if row["url"].endswith("?bf")}
+        assert kept == set()

@@ -4,7 +4,7 @@ parquet, persist it, then answer a top-k query from the STORED index
 
     spark-submit --py-files engine.zip tools/ann_job.py \
         <embeddings.parquet> <query_vec_id> [k] [n_probes] [n_clusters] \
-        [index_dir]
+        [index_dir] [train_sample]
 
 Two phases, matching the shape a 10^12-row deployment needs:
 
@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from pyspark.sql import functions as F  # noqa: E402
 
 from insurance_pdf_extractor_spark.ann import (  # noqa: E402
-    ann_multiprobe, assign_buckets, ivfpq_build, ivfpq_topk, kmeans_train)
+    ann_multiprobe, assign_buckets, ivfpq_build, ivfpq_topk)
 from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
 
 emb_path = sys.argv[1]
@@ -40,6 +40,11 @@ n_probes = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 n_clusters = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 index_dir = sys.argv[6] if len(sys.argv) > 6 else tempfile.mkdtemp(
     prefix="ivfpq_")
+# corpus-scale path: fit the coarse centroids on a deterministic sample
+# (k-means needs ~1000*k points, not the whole corpus); assignments and
+# codes still cover every vector exactly
+train_sample = (float(sys.argv[7]) if len(sys.argv) > 7
+                else None)
 
 spark = get_spark(app_name="ann-job")
 spark.sparkContext.setLogLevel("ERROR")
@@ -48,15 +53,17 @@ t0 = time.monotonic()
 emb = spark.read.parquet(emb_path)
 
 # ---- BUILD: train + encode once, persist the index bucketed ---------
+# inertia history comes straight out of the build (VERDICT r5 item 6:
+# a second full k-means fit just to print the trace doubled build_sec)
+inertia: list[float] = []
 cents, books, index = ivfpq_build(emb, n_clusters=n_clusters, m=16,
-                                  k=16, kmeans_iter=10, pq_iter=4)
+                                  k=16, kmeans_iter=10, pq_iter=4,
+                                  train_sample=train_sample,
+                                  inertia_out=inertia)
 index.write.mode("overwrite").partitionBy("bucket").parquet(
     os.path.join(index_dir, "codes"))
 cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 books.write.mode("overwrite").parquet(os.path.join(index_dir, "codebooks"))
-# inertia history for the report (kmeans ran inside ivfpq_build; re-run
-# the cheap trace only when asked — here derive it from a short re-fit)
-_, inertia = kmeans_train(emb, k=n_clusters, max_iter=10)
 t_build = time.monotonic() - t0
 
 # ---- QUERY: served entirely from the stored artifacts ----------------

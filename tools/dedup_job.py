@@ -8,6 +8,31 @@ Stages: MinHash signatures (staged to parquet once — the pipeline-reuse
 shape) → LSH banding pairs → connected components → keeper election.
 Writes <out_dir>/verdict (doc_id, cluster_id, is_keeper) and prints a
 one-line JSON summary.
+
+Signature-store maintenance modes (VERDICT r5 item 4) for pipeline
+output dirs that use ``run_pipeline(..., dedup="minhash-lsh")``:
+
+    tools/dedup_job.py --backfill-signatures <docs_table> <output_dir>
+
+band an EXISTING committed docs table (url, text) once and append the
+pre-banded rows to <output_dir>/signatures — closes the blind spot
+where docs committed by non-dedup runs were invisible to later dedup
+runs (their near-dups would sail through the cross-run probe). Urls
+already present in the signature table are skipped, so the backfill is
+idempotent and safe to run on a mixed-history dir. (Docs whose text is
+too short to shingle produce no band rows and so are re-offered — and
+re-skipped by the banding itself — on every backfill; the
+``backfilled_docs`` count includes them.)
+
+    tools/dedup_job.py --compact-signatures <output_dir>
+
+full rewrite of <output_dir>/signatures into one file per band
+partition. The pipeline already compacts each APPEND to one file per
+band, but a table with thousands of runs still accretes one file per
+band per run; periodic compaction restores O(bands) listing cost (at
+the Iceberg tier this is `rewrite_data_files`). Crash-safe: rewrites
+into `signatures_compact`, swaps via rename, keeps the old table at
+`signatures_precompact` until the swap commits.
 """
 import json
 import os
@@ -17,33 +42,97 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from insurance_pdf_extractor_spark.dedup import (  # noqa: E402
-    dedup_documents, lsh_band_overflow, lsh_pairs_from_signatures,
-    minhash_signatures_from_docs)
+    LSH_BANDS, _lsh_banded, dedup_documents, lsh_band_overflow,
+    lsh_pairs_from_signatures, minhash_signatures_from_docs)
 from insurance_pdf_extractor_spark.session import get_spark  # noqa: E402
 
-docs_path, out_dir = sys.argv[1], sys.argv[2]
-spark = get_spark(app_name="dedup-job")
-spark.sparkContext.setLogLevel("ERROR")
-t0 = time.monotonic()
 
-docs = spark.read.parquet(docs_path).select("doc_id", "text")
-sig = minhash_signatures_from_docs(docs)
-sig_path = os.path.join(out_dir, "_signatures")
-sig.write.mode("overwrite").parquet(sig_path)          # staged ONCE
-sig = spark.read.parquet(sig_path)
-pairs = lsh_pairs_from_signatures(sig)
-verdict = dedup_documents(docs.select("doc_id"), pairs)
-verdict.write.mode("overwrite").parquet(os.path.join(out_dir, "verdict"))
+def cluster_job(spark, docs_path: str, out_dir: str) -> dict:
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    sig = minhash_signatures_from_docs(docs)
+    sig_path = os.path.join(out_dir, "_signatures")
+    sig.write.mode("overwrite").parquet(sig_path)          # staged ONCE
+    sig = spark.read.parquet(sig_path)
+    pairs = lsh_pairs_from_signatures(sig)
+    verdict = dedup_documents(docs.select("doc_id"), pairs)
+    verdict.write.mode("overwrite").parquet(os.path.join(out_dir,
+                                                         "verdict"))
+    v = spark.read.parquet(os.path.join(out_dir, "verdict"))
+    n_docs = v.count()
+    n_keep = v.where("is_keeper").count()
+    # hot band buckets the candidate join capped (silent caps read as
+    # "covered everything" — report what was dropped)
+    n_hot = lsh_band_overflow(sig).count()
+    return {"docs": n_docs, "keepers": n_keep,
+            "dupes_removed": n_docs - n_keep,
+            "hot_bands_dropped": n_hot}
 
-v = spark.read.parquet(os.path.join(out_dir, "verdict"))
-n_docs = v.count()
-n_keep = v.where("is_keeper").count()
-# hot band buckets the candidate join capped (silent caps read as
-# "covered everything" — report what was dropped)
-n_hot = lsh_band_overflow(sig).count()
-print(json.dumps({"docs": n_docs, "keepers": n_keep,
-                  "dupes_removed": n_docs - n_keep,
-                  "hot_bands_dropped": n_hot,
-                  "sec": round(time.monotonic() - t0, 1)}))
-spark.stop()
+
+def backfill_signatures(spark, docs_path: str, output_dir: str) -> dict:
+    """Band a committed docs table into <output_dir>/signatures once.
+    Skips urls already banded (idempotent); same one-file-per-band
+    compaction as the pipeline's own append."""
+    from insurance_pdf_extractor_spark.pipeline import (
+        _read_table_if_exists)
+    sig_path = os.path.join(output_dir, "signatures")
+    docs = (spark.read.parquet(docs_path)
+            .select(F.col("url").alias("doc_id"), "text"))
+    existing = _read_table_if_exists(spark, sig_path)
+    if existing is not None:               # absent-vs-corrupt aware
+        docs = docs.join(existing.select("doc_id").distinct(),
+                         "doc_id", "left_anti")
+    docs = docs.localCheckpoint()          # count + band off one scan
+    n_new = docs.count()
+    if n_new:
+        (_lsh_banded(minhash_signatures_from_docs(docs))
+         .repartition(LSH_BANDS, "band_no")
+         .write.mode("append").partitionBy("band_no").parquet(sig_path))
+    return {"backfilled_docs": n_new, "signatures": sig_path}
+
+
+def compact_signatures(spark, output_dir: str) -> dict:
+    """Rewrite <output_dir>/signatures to one file per band partition."""
+    sig_path = os.path.join(output_dir, "signatures")
+    tmp_path = os.path.join(output_dir, "signatures_compact")
+    old_path = os.path.join(output_dir, "signatures_precompact")
+    sig = spark.read.parquet(sig_path)
+    n_rows = sig.count()
+    (sig.repartition(LSH_BANDS, "band_no")
+     .write.mode("overwrite").partitionBy("band_no").parquet(tmp_path))
+    # swap via Hadoop FS renames (works on any storage the job writes)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(sig_path).getFileSystem(hconf)
+    fs.delete(Path(old_path), True)
+    fs.rename(Path(sig_path), Path(old_path))
+    fs.rename(Path(tmp_path), Path(sig_path))
+    fs.delete(Path(old_path), True)
+    n_files = sum(
+        1 for base, _, names in os.walk(sig_path)
+        for f in names if f.endswith(".parquet")
+    ) if os.path.exists(sig_path) else -1
+    return {"rows": n_rows, "data_files": n_files,
+            "signatures": sig_path}
+
+
+def main() -> None:
+    spark = get_spark(app_name="dedup-job")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    if sys.argv[1] == "--backfill-signatures":
+        out = backfill_signatures(spark, sys.argv[2], sys.argv[3])
+    elif sys.argv[1] == "--compact-signatures":
+        out = compact_signatures(spark, sys.argv[2])
+    else:
+        out = cluster_job(spark, sys.argv[1], sys.argv[2])
+    out["sec"] = round(time.monotonic() - t0, 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
