@@ -1322,6 +1322,24 @@ _PII_VALUES = [
 ]
 
 
+#: paragraph-dedup fixture: a cookie banner + footer repeated across
+#: docs (the boilerplate the operator exists for), a line repeated twice
+#: WITHIN one doc (corpus-wide count 2 ⇒ dropped), a doc that is all
+#: boilerplate (⇒ empty string), whitespace-only separator lines (never
+#: counted as duplicates), and a trailing-newline empty paragraph.
+_PARA_VALUES = [
+    (1, "We use cookies to improve your experience.\nAlpha unique "
+        "paragraph one.\n \nAlpha unique paragraph two.\n"
+        "(c) 2024 Example Corp. All rights reserved."),
+    (2, "We use cookies to improve your experience.\nBeta keeps this "
+        "line.\n(c) 2024 Example Corp. All rights reserved."),
+    (3, "We use cookies to improve your experience.\n"
+        "(c) 2024 Example Corp. All rights reserved."),
+    (4, "Twice in one doc.\nMiddle content stays.\nTwice in one doc.\n"),
+    (5, "Entirely unique document with a single paragraph."),
+]
+
+
 def q_scrub_ops(spark, sf):
     """PII scrubbing + Gopher repetition screening in ONE graded query
     (VERDICT r5 item 1 — the component COVERAGE.md promised), kind-
@@ -1333,10 +1351,16 @@ def q_scrub_ops(spark, sf):
     - kind='ngram': :func:`scrub.repeated_ngram_stats` over documents
       doc_id < 200 — the most frequent word 2-gram per doc and the
       fraction of characters it covers (the template/spam signal).
+    - kind='paradedup' (r6): :func:`dedup.dedup_paragraphs` over the
+      boilerplate fixture — CCNet-style corpus-wide line dedup; the
+      reassembled text rides the text_scrubbed column, plus per-doc
+      paras_total / paras_dropped.
     """
+    from insurance_pdf_extractor_spark.dedup import dedup_paragraphs
     from insurance_pdf_extractor_spark.scrub import (
         PII_PATTERNS, repeated_ngram_stats, scrub_pii)
     names = [n for n, _, _ in PII_PATTERNS]
+    _nulls = [F.lit(None).cast("long").alias(f"n_{n}") for n in names]
     pii = scrub_pii(_values_df(spark, _PII_VALUES, ["id", "text"])).select(
         F.lit("pii").alias("kind"),
         F.col("id").cast("string").alias("key"),
@@ -1345,16 +1369,31 @@ def q_scrub_ops(spark, sf):
           for n in names],
         F.lit(None).cast("string").alias("top_ngram"),
         F.lit(None).cast("long").alias("top_count"),
-        F.lit(None).cast("double").alias("top_char_frac"))
+        F.lit(None).cast("double").alias("top_char_frac"),
+        F.lit(None).cast("long").alias("paras_total"),
+        F.lit(None).cast("long").alias("paras_dropped"))
     docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 200)
             .select("doc_id", "text"))
     ng = repeated_ngram_stats(docs).select(
         F.lit("ngram").alias("kind"),
         F.col("doc_id").cast("string").alias("key"),
         F.lit(None).cast("string").alias("text_scrubbed"),
-        *[F.lit(None).cast("long").alias(f"n_{n}") for n in names],
-        "top_ngram", "top_count", "top_char_frac")
-    return pii.unionByName(ng)
+        *_nulls,
+        "top_ngram", "top_count", "top_char_frac",
+        F.lit(None).cast("long").alias("paras_total"),
+        F.lit(None).cast("long").alias("paras_dropped"))
+    pd_rows = dedup_paragraphs(
+        _values_df(spark, _PARA_VALUES, ["id", "text"]),
+        id_col="id").select(
+        F.lit("paradedup").alias("kind"),
+        F.col("id").cast("string").alias("key"),
+        F.col("text_kept").alias("text_scrubbed"),
+        *_nulls,
+        F.lit(None).cast("string").alias("top_ngram"),
+        F.lit(None).cast("long").alias("top_count"),
+        F.lit(None).cast("double").alias("top_char_frac"),
+        "paras_total", "paras_dropped")
+    return pii.unionByName(ng).unionByName(pd_rows)
 
 
 def q_embedding_near_dup(spark, sf):
@@ -1917,7 +1956,9 @@ def _scrub_ops_sql() -> str:
     len(regexp_extract_all) on the progressively-scrubbed text; the
     repetition screen is rebuilt with list comprehensions over
     string_split_regex, LEFT JOINed back so sub-2-word docs keep their
-    (NULL, 0, 0.0) row like explode_outer does."""
+    (NULL, 0, 0.0) row like explode_outer does; the paragraph dedup is
+    rebuilt with zipped unnest/generate_subscripts + a HAVING-count hot
+    list + string_agg ORDER BY position."""
     from insurance_pdf_extractor_spark.scrub import PII_PATTERNS
     expr = "text"
     counts = []
@@ -1964,18 +2005,57 @@ def _scrub_ops_sql() -> str:
               FROM d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
               ON d.doc_id = r.doc_id
             )
+            , para_src AS (
+              SELECT * FROM {_values_sql(_PARA_VALUES, ['id', 'text'])}
+            ), parts AS (
+              SELECT id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                         AS pos
+              FROM para_src
+            ), hot AS (
+              SELECT trim(para) AS k FROM parts
+              WHERE trim(para) <> ''
+              GROUP BY 1 HAVING count(*) >= 2
+            ), kept AS (
+              SELECT * FROM parts
+              WHERE trim(para) NOT IN (SELECT k FROM hot)
+            ), totals AS (
+              SELECT id, count(*) AS paras_total FROM parts GROUP BY id
+            ), rebuilt AS (
+              SELECT id, string_agg(para, chr(10) ORDER BY pos) AS tk,
+                     count(*) AS pk
+              FROM kept GROUP BY id
+            ), pd AS (
+              SELECT s.id, coalesce(r.tk, '') AS text_kept,
+                     CAST(t.paras_total AS BIGINT) AS paras_total,
+                     CAST(t.paras_total - coalesce(r.pk, 0) AS BIGINT)
+                         AS paras_dropped
+              FROM para_src s
+              JOIN totals t ON s.id = t.id
+              LEFT JOIN rebuilt r ON s.id = r.id
+            )
             SELECT 'pii' AS kind, CAST(id AS VARCHAR) AS key,
                    text_scrubbed,
                    {', '.join(f'n_{n}' for n in names)},
                    CAST(NULL AS VARCHAR) AS top_ngram,
                    CAST(NULL AS BIGINT) AS top_count,
-                   CAST(NULL AS DOUBLE) AS top_char_frac
+                   CAST(NULL AS DOUBLE) AS top_char_frac,
+                   CAST(NULL AS BIGINT) AS paras_total,
+                   CAST(NULL AS BIGINT) AS paras_dropped
             FROM pii
             UNION ALL
             SELECT 'ngram', CAST(doc_id AS VARCHAR),
                    CAST(NULL AS VARCHAR), {null_counts},
-                   top_ngram, top_count, top_char_frac
-            FROM ng"""
+                   top_ngram, top_count, top_char_frac,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM ng
+            UNION ALL
+            SELECT 'paradedup', CAST(id AS VARCHAR),
+                   text_kept, {null_counts},
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), paras_total, paras_dropped
+            FROM pd"""
 
 
 def _finval_sql() -> str:

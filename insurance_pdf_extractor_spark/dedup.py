@@ -483,3 +483,74 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", ham.cast("int"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact paragraph dedup (CCNet-style line-level dedup)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_count: int = 2,
+                     sep: str = "\n") -> DataFrame:
+    """Remove paragraphs duplicated across the WHOLE corpus, in place.
+
+    CCNet / RefinedWeb-style line-level dedup (Wenzek et al. 2020 §4.1):
+    navigation chrome, cookie banners, and boilerplate footers repeat
+    verbatim across millions of pages — removing every paragraph whose
+    trimmed text occurs >= ``min_count`` times corpus-wide strips them
+    without any per-site rules, and is the standard complement to the
+    document-level MinHash pass (which only drops WHOLE near-dup docs).
+
+    Returns one row per input document:
+    ``(id_col, text_kept, paras_total, paras_dropped)`` where
+    ``text_kept`` re-joins the surviving paragraphs in their original
+    order (empty string when everything was boilerplate; null for null
+    input text).
+
+    Shape at scale — three keyed shuffles, nothing quadratic:
+    1. posexplode → ONE (paragraph) hash aggregation; partial map-side
+       combine absorbs the hot boilerplate keys (a banner occurring
+       10^9 times arrives at the reducer as one partial count per map
+       task, not 10^9 rows).
+    2. left-anti join of the exploded rows against the (already
+       aggregated, one-row-per-duplicated-paragraph) hot list.
+    3. groupBy(doc) re-assembly: collect_list is bounded by document
+       size, which upstream chunking bounds.
+    The shuffle key is the trimmed paragraph STRING (exact semantics,
+    DuckDB-checkable); at the 10^12-doc tier substitute
+    ``xxhash64(_k)``+``md5(_k)`` for the join/agg key to cut shuffle
+    bytes — the plan shape is unchanged. Whitespace-only paragraphs are
+    never counted as duplicates (they are formatting, not content).
+    """
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_text"))
+    parts = (base.select("_id",
+                         F.posexplode(F.split("_text", sep, -1))
+                         .alias("pos", "para"))
+             .withColumn("_k", F.trim("para")))
+    hot = (parts.where(F.col("_k") != "")
+           .groupBy("_k").agg(F.count("*").alias("_cnt"))
+           .where(F.col("_cnt") >= min_count)
+           .select("_k"))
+    kept = parts.join(hot, "_k", "left_anti")
+    rebuilt = (kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"]),
+            sep).alias("_text_kept"),
+        F.count("*").alias("_paras_kept")))
+    totals = parts.groupBy("_id").agg(
+        F.count("*").alias("paras_total"))
+    return (base.join(totals, "_id", "left")
+            .join(rebuilt, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.when(F.col("_text").isNull(), F.lit(None))
+                 .otherwise(F.coalesce("_text_kept", F.lit("")))
+                 .alias("text_kept"),
+                F.coalesce("paras_total", F.lit(0)).cast("long")
+                 .alias("paras_total"),
+                (F.coalesce("paras_total", F.lit(0))
+                 - F.coalesce("_paras_kept", F.lit(0))).cast("long")
+                 .alias("paras_dropped")))

@@ -311,3 +311,71 @@ class TestSimhashNearPairs:
         if rows:
             comp = connected_components(pairs)
             assert comp.count() > 0
+
+
+class TestDedupParagraphs:
+    """Corpus-wide exact paragraph dedup (dedup.py dedup_paragraphs) —
+    CCNet-style line-level boilerplate removal."""
+
+    ROWS = [
+        (1, "BANNER\nalpha one\n \nalpha two\nFOOTER"),
+        (2, "BANNER\nbeta keeps this\nFOOTER"),
+        (3, "BANNER\nFOOTER"),
+        (4, "twice here\nmiddle stays\ntwice here\n"),
+        (5, "entirely unique single paragraph"),
+        (6, None),
+    ]
+
+    def _run(self, spark, **kw):
+        df = spark.createDataFrame(self.ROWS, "doc_id int, text string")
+        out = D.dedup_paragraphs(df, **kw)
+        return {r["doc_id"]: r for r in out.collect()}, out
+
+    def test_corpus_wide_boilerplate_removed_order_kept(self, spark):
+        got, _ = self._run(spark)
+        assert got[1]["text_kept"] == "alpha one\n \nalpha two"
+        assert got[2]["text_kept"] == "beta keeps this"
+        assert (got[1]["paras_total"], got[1]["paras_dropped"]) == (5, 2)
+
+    def test_all_boilerplate_doc_becomes_empty(self, spark):
+        got, _ = self._run(spark)
+        assert got[3]["text_kept"] == ""
+        assert (got[3]["paras_total"], got[3]["paras_dropped"]) == (2, 2)
+
+    def test_within_doc_repeat_counts_toward_corpus(self, spark):
+        got, _ = self._run(spark)
+        # "twice here" occurs twice in doc 4 alone -> dropped; trailing
+        # newline yields a final empty paragraph that survives.
+        assert got[4]["text_kept"] == "middle stays\n"
+        assert (got[4]["paras_total"], got[4]["paras_dropped"]) == (4, 2)
+
+    def test_unique_doc_untouched_null_passthrough(self, spark):
+        got, _ = self._run(spark)
+        assert got[5]["text_kept"] == self.ROWS[4][1]
+        assert got[5]["paras_dropped"] == 0
+        assert got[6]["text_kept"] is None
+        assert (got[6]["paras_total"], got[6]["paras_dropped"]) == (0, 0)
+
+    def test_whitespace_paragraphs_never_deduped(self, spark):
+        rows = [(1, "a\n \nb"), (2, "c\n \nd"), (3, "\n\n")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in D.dedup_paragraphs(df).collect()}
+        assert got[1]["text_kept"] == "a\n \nb"
+        assert got[3]["text_kept"] == "\n\n"
+        assert all(got[i]["paras_dropped"] == 0 for i in (1, 2, 3))
+
+    def test_min_count_threshold(self, spark):
+        got, _ = self._run(spark, min_count=3)
+        # BANNER occurs 3x, FOOTER 3x, "twice here" only 2x
+        assert got[4]["text_kept"].startswith("twice here")
+        assert got[2]["text_kept"] == "beta keeps this"
+
+    def test_plan_is_udf_free_and_one_para_agg(self, spark):
+        _, out = self._run(spark)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "MapInPandas"):
+            assert marker not in plan
+        # hot-list aggregation must have a map-side partial combine so
+        # 10^9-row banner keys collapse before the shuffle
+        assert "partial_count" in plan or "HashAggregate" in plan
