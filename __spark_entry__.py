@@ -2000,7 +2000,9 @@ def _scrub_ops_sql() -> str:
               SELECT d.doc_id, r.gram AS top_ngram,
                      CAST(coalesce(r.cnt, 0) AS BIGINT) AS top_count,
                      CASE WHEN r.gram IS NOT NULL AND d.tl > 0
-                          THEN round(r.cnt * length(r.gram) / d.tl, 4)
+                          THEN least(1.0,
+                                     round(r.cnt * length(r.gram) / d.tl,
+                                           4))
                           ELSE 0.0 END AS top_char_frac
               FROM d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
               ON d.doc_id = r.doc_id

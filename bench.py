@@ -522,6 +522,18 @@ def main() -> None:
         "pipeline_dedup_pass_stages": dedup_stages,
     }
     print(json.dumps(out))
+    # persist the FULL record next to the stdout line (VERDICT r6: the
+    # driver captures only a 2000-char stdout tail, and the r6 artifact
+    # of record lost its per-query timings to that window — the repo
+    # copy survives regardless of how much diagnostics the JSON grows)
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH"), exist_ok=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "bench_latest.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass  # read-only checkout must not fail the bench itself
     spark.stop()
 
 

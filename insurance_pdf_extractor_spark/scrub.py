@@ -91,9 +91,16 @@ def _word_ngrams(text_col: Column, n: int) -> Column:
 def repeated_ngram_stats(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 2) -> DataFrame:
     """Per-doc repetition screen: (id, top_ngram, top_count,
-    top_char_frac) where top_char_frac = characters covered by the most
-    frequent word ``n``-gram / total characters (Gopher §A1.1; docs
-    above ~0.18-0.20 for 2-grams are template/spam candidates).
+    top_char_frac) where top_char_frac = count × len(top gram) / total
+    characters, capped at 1.0 (Gopher §A1.1; docs above ~0.18-0.20 for
+    2-grams are template/spam candidates). The count × len product is
+    the public Gopher-reproduction formula (DataTrove's
+    GopherRepetitionFilter uses the same); it counts characters shared
+    by OVERLAPPING occurrences twice ('spam spam spam' puts each inner
+    word in two bigrams), so it over-flags relative to a strict
+    character-coverage reading — the cap keeps it a proper fraction,
+    and the exact-coverage variant is
+    :func:`gopher_repetition_stats`'s dup_ngram fractions (ADVICE r6).
 
     Ties break to the lexicographically-smallest gram (deterministic).
     Shape at scale: explode → ONE (id, gram) hash aggregation (partial
@@ -120,6 +127,7 @@ def repeated_ngram_stats(df: DataFrame, id_col: str = "doc_id",
         F.when(has, F.col("cnt")).otherwise(F.lit(0)).cast("long")
         .alias("top_count"),
         F.when(has & (F.col("_len") > 0),
-               F.round(F.col("cnt") * F.length("gram")
-                       / F.col("_len"), 4))
+               F.least(F.lit(1.0),
+                       F.round(F.col("cnt") * F.length("gram")
+                               / F.col("_len"), 4)))
         .otherwise(F.lit(0.0)).alias("top_char_frac"))

@@ -30,9 +30,17 @@ full rewrite of <output_dir>/signatures into one file per band
 partition. The pipeline already compacts each APPEND to one file per
 band, but a table with thousands of runs still accretes one file per
 band per run; periodic compaction restores O(bands) listing cost (at
-the Iceberg tier this is `rewrite_data_files`). Crash-safe: rewrites
-into `signatures_compact`, swaps via rename, keeps the old table at
-`signatures_precompact` until the swap commits.
+the Iceberg tier this is `rewrite_data_files`). RECOVERABLE, not
+atomic (ADVICE r6): the rewrite goes into `signatures_compact`, the
+swap is two renames with the old table parked at
+`signatures_precompact` — a crash between the renames leaves
+`signatures/` absent, which a later run would read as "no history"
+and silently lose all cross-run dedup. Both the next compaction and
+the next `--backfill-signatures` therefore auto-restore the parked
+copy before proceeding. Do NOT run pipeline appends concurrently
+with a compaction: a delta appended between the initial read and the
+swap is dropped by the rewrite (at the Iceberg tier both become one
+optimistic-concurrency transaction and this caveat disappears).
 """
 import json
 import os
@@ -71,12 +79,32 @@ def cluster_job(spark, docs_path: str, out_dir: str) -> dict:
             "hot_bands_dropped": n_hot}
 
 
+def _recover_half_swapped(spark, output_dir: str) -> bool:
+    """Detect and repair a compaction that crashed mid-swap (ADVICE r6):
+    ``signatures/`` absent but ``signatures_precompact/`` present means
+    the old table was renamed away and the new one never landed —
+    restore the parked copy so downstream reads see history instead of
+    silently treating the store as empty. Returns True if it repaired."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    sig = Path(os.path.join(output_dir, "signatures"))
+    old = Path(os.path.join(output_dir, "signatures_precompact"))
+    fs = sig.getFileSystem(hconf)
+    if not fs.exists(sig) and fs.exists(old):
+        fs.rename(old, sig)
+        return True
+    return False
+
+
 def backfill_signatures(spark, docs_path: str, output_dir: str) -> dict:
     """Band a committed docs table into <output_dir>/signatures once.
     Skips urls already banded (idempotent); same one-file-per-band
-    compaction as the pipeline's own append."""
+    compaction as the pipeline's own append. Auto-restores a
+    half-swapped compaction first (see module doc)."""
     from insurance_pdf_extractor_spark.pipeline import (
         _read_table_if_exists)
+    _recover_half_swapped(spark, output_dir)
     sig_path = os.path.join(output_dir, "signatures")
     docs = (spark.read.parquet(docs_path)
             .select(F.col("url").alias("doc_id"), "text"))
@@ -94,7 +122,10 @@ def backfill_signatures(spark, docs_path: str, output_dir: str) -> dict:
 
 
 def compact_signatures(spark, output_dir: str) -> dict:
-    """Rewrite <output_dir>/signatures to one file per band partition."""
+    """Rewrite <output_dir>/signatures to one file per band partition.
+    Recoverable, not atomic — see module doc; restores a previous
+    half-swap before starting."""
+    recovered = _recover_half_swapped(spark, output_dir)
     sig_path = os.path.join(output_dir, "signatures")
     tmp_path = os.path.join(output_dir, "signatures_compact")
     old_path = os.path.join(output_dir, "signatures_precompact")
@@ -111,11 +142,19 @@ def compact_signatures(spark, output_dir: str) -> dict:
     fs.rename(Path(sig_path), Path(old_path))
     fs.rename(Path(tmp_path), Path(sig_path))
     fs.delete(Path(old_path), True)
-    n_files = sum(
-        1 for base, _, names in os.walk(sig_path)
-        for f in names if f.endswith(".parquet")
-    ) if os.path.exists(sig_path) else -1
+    # file-count diagnostic through the same Hadoop FS (VERDICT r6 item
+    # 7: os.walk sees nothing on object storage, and -1 here would read
+    # as "compaction produced no files")
+    n_files = 0
+    stack = [Path(sig_path)]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif st.getPath().getName().endswith(".parquet"):
+                n_files += 1
     return {"rows": n_rows, "data_files": n_files,
+            "recovered_half_swap": recovered,
             "signatures": sig_path}
 
 
