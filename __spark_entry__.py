@@ -1355,12 +1355,20 @@ def q_scrub_ops(spark, sf):
       boilerplate fixture — CCNet-style corpus-wide line dedup; the
       reassembled text rides the text_scrubbed column, plus per-doc
       paras_total / paras_dropped.
+    - kind='gopher' (r7): :func:`scrub.gopher_repetition_stats` over
+      the same documents subset — duplicate-line fraction/char
+      fraction and duplicated-n-gram char coverage for n=5..10 (the
+      rest of the Gopher §A1.1 family, VERDICT r6 item 4).
     """
     from insurance_pdf_extractor_spark.dedup import dedup_paragraphs
     from insurance_pdf_extractor_spark.scrub import (
-        PII_PATTERNS, repeated_ngram_stats, scrub_pii)
+        GOPHER_DUP_NGRAM_NS, PII_PATTERNS, gopher_repetition_stats,
+        repeated_ngram_stats, scrub_pii)
     names = [n for n, _, _ in PII_PATTERNS]
+    gcols = (["dup_line_frac", "dup_line_char_frac"]
+             + [f"dup_ngram_char_frac_{n:02d}" for n in GOPHER_DUP_NGRAM_NS])
     _nulls = [F.lit(None).cast("long").alias(f"n_{n}") for n in names]
+    _gnulls = [F.lit(None).cast("double").alias(c) for c in gcols]
     pii = scrub_pii(_values_df(spark, _PII_VALUES, ["id", "text"])).select(
         F.lit("pii").alias("kind"),
         F.col("id").cast("string").alias("key"),
@@ -1371,7 +1379,8 @@ def q_scrub_ops(spark, sf):
         F.lit(None).cast("long").alias("top_count"),
         F.lit(None).cast("double").alias("top_char_frac"),
         F.lit(None).cast("long").alias("paras_total"),
-        F.lit(None).cast("long").alias("paras_dropped"))
+        F.lit(None).cast("long").alias("paras_dropped"),
+        *_gnulls)
     docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 200)
             .select("doc_id", "text"))
     ng = repeated_ngram_stats(docs).select(
@@ -1381,7 +1390,8 @@ def q_scrub_ops(spark, sf):
         *_nulls,
         "top_ngram", "top_count", "top_char_frac",
         F.lit(None).cast("long").alias("paras_total"),
-        F.lit(None).cast("long").alias("paras_dropped"))
+        F.lit(None).cast("long").alias("paras_dropped"),
+        *_gnulls)
     pd_rows = dedup_paragraphs(
         _values_df(spark, _PARA_VALUES, ["id", "text"]),
         id_col="id").select(
@@ -1392,8 +1402,20 @@ def q_scrub_ops(spark, sf):
         F.lit(None).cast("string").alias("top_ngram"),
         F.lit(None).cast("long").alias("top_count"),
         F.lit(None).cast("double").alias("top_char_frac"),
-        "paras_total", "paras_dropped")
-    return pii.unionByName(ng).unionByName(pd_rows)
+        "paras_total", "paras_dropped",
+        *_gnulls)
+    gf = gopher_repetition_stats(docs).select(
+        F.lit("gopher").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("text_scrubbed"),
+        *_nulls,
+        F.lit(None).cast("string").alias("top_ngram"),
+        F.lit(None).cast("long").alias("top_count"),
+        F.lit(None).cast("double").alias("top_char_frac"),
+        F.lit(None).cast("long").alias("paras_total"),
+        F.lit(None).cast("long").alias("paras_dropped"),
+        *gcols)
+    return pii.unionByName(ng).unionByName(pd_rows).unionByName(gf)
 
 
 def q_embedding_near_dup(spark, sf):
@@ -1958,8 +1980,13 @@ def _scrub_ops_sql() -> str:
     string_split_regex, LEFT JOINed back so sub-2-word docs keep their
     (NULL, 0, 0.0) row like explode_outer does; the paragraph dedup is
     rebuilt with zipped unnest/generate_subscripts + a HAVING-count hot
-    list + string_agg ORDER BY position."""
-    from insurance_pdf_extractor_spark.scrub import PII_PATTERNS
+    list + string_agg ORDER BY position; the Gopher family (r7) is
+    rebuilt with per-n list-comprehension n-grams zipped to positions,
+    a window count over (doc, n, gram), and range()-expanded word-index
+    coverage joined back to the 1-based word table (the Spark side uses
+    0-based posexplode — coverage only needs internal consistency)."""
+    from insurance_pdf_extractor_spark.scrub import (
+        GOPHER_DUP_NGRAM_NS, PII_PATTERNS)
     expr = "text"
     counts = []
     for name, pat, tok in PII_PATTERNS:
@@ -1970,6 +1997,22 @@ def _scrub_ops_sql() -> str:
     names = [n for n, _, _ in PII_PATTERNS]
     null_counts = ", ".join(f"CAST(NULL AS BIGINT) AS n_{n}"
                             for n in names)
+    gcols = (["dup_line_frac", "dup_line_char_frac"]
+             + [f"dup_ngram_char_frac_{n:02d}" for n in GOPHER_DUP_NGRAM_NS])
+    null_gopher = ", ".join(f"CAST(NULL AS DOUBLE) AS {c}" for c in gcols)
+    gocc_blocks = "\n              UNION ALL\n".join(
+        f"""SELECT doc_id, {n} AS n,
+                     unnest([array_to_string(words[i:i+{n - 1}], ' ')
+                             for i in range(1, len(words) - {n} + 2)])
+                         AS gram,
+                     unnest(range(1, len(words) - {n} + 2)) AS pos
+              FROM gw""" for n in GOPHER_DUP_NGRAM_NS)
+    gng_aggs = ", ".join(
+        f"max(CASE WHEN n = {n} THEN round(cov / wchars, 4) END) AS f{n:02d}"
+        for n in GOPHER_DUP_NGRAM_NS)
+    gf_cols = ", ".join(
+        f"coalesce(gng.f{n:02d}, 0.0) AS dup_ngram_char_frac_{n:02d}"
+        for n in GOPHER_DUP_NGRAM_NS)
     return f"""
             WITH pii_src AS (
               SELECT * FROM {_values_sql(_PII_VALUES, ['id', 'text'])}
@@ -2036,6 +2079,62 @@ def _scrub_ops_sql() -> str:
               FROM para_src s
               JOIN totals t ON s.id = t.id
               LEFT JOIN rebuilt r ON s.id = r.id
+            ), lw AS (
+              SELECT doc_id, trim(x) AS k
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+                    FROM d)
+              WHERE trim(x) <> ''
+            ), lc AS (
+              SELECT doc_id, k, count(*) AS c FROM lw GROUP BY 1, 2
+            ), ls AS (
+              SELECT doc_id, sum(c) AS lt, sum(c - 1) AS ld,
+                     sum(c * length(k)) AS lct,
+                     sum((c - 1) * length(k)) AS lcd
+              FROM lc GROUP BY 1
+            ), gw AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS words
+              FROM d
+            ), gwt AS (
+              SELECT doc_id, unnest(words) AS word,
+                     generate_subscripts(words, 1) AS widx
+              FROM gw
+            ), gtot AS (
+              SELECT doc_id, sum(length(word)) AS wchars
+              FROM gwt GROUP BY 1
+            ), gocc AS (
+              {gocc_blocks}
+            ), gdup AS (
+              SELECT doc_id, n, pos FROM (
+                SELECT doc_id, n, pos,
+                       count(*) OVER (PARTITION BY doc_id, n, gram) AS c
+                FROM gocc)
+              WHERE c >= 2
+            ), gcov AS (
+              SELECT DISTINCT doc_id, n, widx FROM (
+                SELECT doc_id, n, unnest(range(pos, pos + n)) AS widx
+                FROM gdup)
+            ), gcc AS (
+              SELECT g.doc_id, g.n, sum(length(t.word)) AS cov
+              FROM gcov g
+              JOIN gwt t ON g.doc_id = t.doc_id AND g.widx = t.widx
+              GROUP BY 1, 2
+            ), gng AS (
+              SELECT c.doc_id, {gng_aggs}
+              FROM gcc c JOIN gtot w ON c.doc_id = w.doc_id
+              GROUP BY 1
+            ), gf AS (
+              SELECT d.doc_id,
+                     CASE WHEN coalesce(ls.lt, 0) > 0
+                          THEN round(ls.ld / ls.lt, 4) ELSE 0.0 END
+                         AS dup_line_frac,
+                     CASE WHEN coalesce(ls.lct, 0) > 0
+                          THEN round(ls.lcd / ls.lct, 4) ELSE 0.0 END
+                         AS dup_line_char_frac,
+                     {gf_cols}
+              FROM d
+              LEFT JOIN ls ON d.doc_id = ls.doc_id
+              LEFT JOIN gng ON d.doc_id = gng.doc_id
             )
             SELECT 'pii' AS kind, CAST(id AS VARCHAR) AS key,
                    text_scrubbed,
@@ -2044,20 +2143,31 @@ def _scrub_ops_sql() -> str:
                    CAST(NULL AS BIGINT) AS top_count,
                    CAST(NULL AS DOUBLE) AS top_char_frac,
                    CAST(NULL AS BIGINT) AS paras_total,
-                   CAST(NULL AS BIGINT) AS paras_dropped
+                   CAST(NULL AS BIGINT) AS paras_dropped,
+                   {null_gopher}
             FROM pii
             UNION ALL
             SELECT 'ngram', CAST(doc_id AS VARCHAR),
                    CAST(NULL AS VARCHAR), {null_counts},
                    top_ngram, top_count, top_char_frac,
-                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   {null_gopher}
             FROM ng
             UNION ALL
             SELECT 'paradedup', CAST(id AS VARCHAR),
                    text_kept, {null_counts},
                    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-                   CAST(NULL AS DOUBLE), paras_total, paras_dropped
-            FROM pd"""
+                   CAST(NULL AS DOUBLE), paras_total, paras_dropped,
+                   {null_gopher}
+            FROM pd
+            UNION ALL
+            SELECT 'gopher', CAST(doc_id AS VARCHAR),
+                   CAST(NULL AS VARCHAR), {null_counts},
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   {', '.join(gcols)}
+            FROM gf"""
 
 
 def _finval_sql() -> str:

@@ -9,7 +9,8 @@ pipeline cannot ship without one.
 import pytest
 
 from insurance_pdf_extractor_spark.scrub import (
-    PII_PATTERNS, repeated_ngram_stats, scrub_pii)
+    GOPHER_DUP_NGRAM_NS, PII_PATTERNS, gopher_repetition_stats,
+    repeated_ngram_stats, scrub_pii)
 
 _PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas")
@@ -137,3 +138,101 @@ class TestRepeatedNgramStats:
         assert "Generate" in plan          # the explode
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" not in plan
+
+    def test_top_char_frac_capped_at_one(self, spark):
+        """The Gopher-reproduction count×len formula double-counts
+        characters shared by overlapping occurrences ('spam spam spam'
+        puts each inner word in two bigrams) and can exceed 1.0 — the
+        metric is documented as capped (ADVICE r6)."""
+        df = spark.createDataFrame([(1, "spam spam spam spam spam")],
+                                   "doc_id int, text string")
+        r = repeated_ngram_stats(df).first()
+        # raw formula: 4 occurrences x 9 chars = 36 > 24 chars of text
+        assert r["top_char_frac"] == 1.0
+
+
+class TestGopherRepetitionStats:
+    """The rest of the Gopher §A1.1 family (Rae et al. 2021): duplicate
+    lines + duplicated-n-gram character coverage, n = 5..10."""
+
+    @pytest.fixture(scope="class")
+    def stats(self, spark):
+        rows = [
+            # 3 content lines, one repeated: dup_line_frac = 1/3;
+            # chars 10+10+5, dup 10 → dup_line_char_frac = 0.4
+            (1, "alpha beta\nalpha beta\ngamma"),
+            # 13 words; 'one two three four five six' repeats → words
+            # 0..11 covered for n=5 and 6; chars 44 of 48 → 0.9167
+            (2, "one two three four five six "
+                "one two three four five six tail"),
+            (3, "all unique words here no repeats at all today ok"),
+            (4, ""),
+            (5, None),
+            # whitespace-only lines are formatting, not content: the
+            # repeated empty line must not count as a duplicate
+            (6, "real line\n\n\nreal line\n\n"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = gopher_repetition_stats(df)
+        return {r["doc_id"]: r for r in out.collect()}, out
+
+    def test_duplicate_line_fractions(self, stats):
+        r = stats[0][1]
+        assert r["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-4)
+        assert r["dup_line_char_frac"] == pytest.approx(0.4, abs=1e-4)
+
+    def test_dup_ngram_coverage(self, stats):
+        r = stats[0][2]
+        assert r["dup_ngram_char_frac_05"] == pytest.approx(44 / 48,
+                                                            abs=1e-4)
+        assert r["dup_ngram_char_frac_06"] == pytest.approx(44 / 48,
+                                                            abs=1e-4)
+        # no 7-gram repeats
+        assert r["dup_ngram_char_frac_07"] == 0.0
+
+    def test_clean_doc_all_zero(self, stats):
+        r = stats[0][3]
+        assert r["dup_line_frac"] == 0.0
+        assert all(r[f"dup_ngram_char_frac_{n:02d}"] == 0.0
+                   for n in GOPHER_DUP_NGRAM_NS)
+
+    def test_empty_and_null_text(self, stats):
+        for doc in (4, 5):
+            r = stats[0][doc]
+            assert r["dup_line_frac"] == 0.0
+            assert r["dup_line_char_frac"] == 0.0
+
+    def test_blank_lines_not_duplicates(self, stats):
+        """Doc 6 repeats 'real line' (2 of 2 content lines are one dup
+        pair → 1/2) — the three blank lines must not inflate it."""
+        r = stats[0][6]
+        assert r["dup_line_frac"] == 0.5
+
+    def test_every_doc_returns_one_row(self, stats):
+        assert set(stats[0].keys()) == {1, 2, 3, 4, 5, 6}
+
+    def test_coverage_never_exceeds_one(self, stats):
+        """Overlap-exact coverage is a real fraction by construction —
+        the property the count×len formula lacks."""
+        df_rows = stats[0].values()
+        for r in df_rows:
+            for n in GOPHER_DUP_NGRAM_NS:
+                assert 0.0 <= r[f"dup_ngram_char_frac_{n:02d}"] <= 1.0
+
+    def test_plan_is_udf_free(self, stats):
+        plan = _plan(stats[1])
+        assert not any(m in plan for m in _PY_MARKERS), plan
+
+    def test_one_ngram_explode_for_all_n(self, stats):
+        """All six n-gram sizes ride ONE Generate over the document
+        text (per-n struct arrays concatenated before the explode) —
+        six separate explodes would scan the text six times at 100 TB.
+        Asserted on the optimized logical plan (the executed-plan
+        string repeats shared subtrees per consumer branch)."""
+        logical = (stats[1]._jdf.queryExecution().optimizedPlan()
+                   .toString())
+        gram_explodes = [ln for ln in logical.splitlines()
+                         if "Generate explode(concat(" in ln]
+        assert len(gram_explodes) == 1, logical
+        # and no stray per-n gram explode outside the concat
+        assert "Generate explode(zip_with" not in logical
