@@ -7,6 +7,8 @@
       → tokenize  (mapInPandas)                # stage 2 (+2b html)
       → fields    (mapInPandas)                # stages 3+4
       → finalize  (native explode/window/agg)  # stage 5
+      → opt-in gates: quality_min → paragraph_dedup → repetition_filter
+        → scrub → minhash dedup (the CCNet chain; each emits lineage)
       → write claims, then docs (commit marker), metrics table per
         (stage, partition)
 
@@ -44,12 +46,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (LSH_BANDS, _lsh_banded, dedup_documents,
-                    lsh_band_overflow_from_banded, lsh_pairs_from_banded,
-                    minhash_signatures_from_docs)
+                    dedup_paragraphs, lsh_band_overflow_from_banded,
+                    lsh_pairs_from_banded, minhash_signatures_from_docs)
 from .lineage import read_metrics, split_metrics
 from .operators.finalize import finalize
 from .operators.fused import tokenize_and_extract
 from .operators.sniff import sniff
+from .scrub import gopher_repetition_keepers, scrub_pii
 
 
 @dataclass
@@ -100,12 +103,14 @@ def _dedup_keepers(fields: DataFrame,
     minhash-lsh dedup stage: signatures → staged banding → connected
     components → keeper election (min url per cluster, deterministic).
 
-    ``fields`` is the post-UDF intermediate, NOT the finalize docs view:
-    both carry the same (url, text), but the docs view drags finalize's
-    per-doc claim-aggregation joins into every dedup branch (signature
-    build, cluster ids, keeper join) — reading the 2-column projection
-    straight off the staged intermediate keeps those branches at scan
-    cost.
+    ``fields`` is a (url, text) view of the post-UDF intermediate —
+    after any text-quality rewrites (paragraph dedup / scrub), so
+    signatures hash the text that is actually committed — NOT the
+    finalize docs view: both carry the same (url, text), but the docs
+    view drags finalize's per-doc claim-aggregation joins into every
+    dedup branch (signature build, cluster ids, keeper join) — reading
+    the 2-column projection straight off the staged intermediate keeps
+    those branches at scan cost.
 
     The staged artifact is the BANDED table (doc_id, band_no, bh) — the
     one format every consumer needs: the candidate self-join, the
@@ -223,7 +228,10 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  cache_intermediate: bool = True,
                  partition_output_by_date: bool = False,
                  dedup: str | None = None,
-                 quality_min: float | None = None) -> PipelineResult:
+                 quality_min: float | None = None,
+                 paragraph_dedup: bool = False,
+                 repetition_filter: bool = False,
+                 scrub: bool = False) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
     output_dir: if set, writes ``claims/`` + ``docs/`` parquet (append)
@@ -273,6 +281,49 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     appends only touch the days present in the delta. Off by default so
     small-corpus outputs stay single-directory. The resume anti-join is
     layout-independent (it reads only ``url``).
+
+    paragraph_dedup / repetition_filter / scrub (r7 — VERDICT r6 items
+    1/4): the CCNet-style text-quality chain, opt-in stages that run
+    AFTER the quality gate and BEFORE minhash dedup, in this order:
+
+    1. ``paragraph_dedup`` — corpus-wide line-level boilerplate removal
+       (:func:`dedup.dedup_paragraphs`): docs' ``text`` is REWRITTEN to
+       the surviving paragraphs and the docs table gains
+       ``paras_total`` / ``paras_dropped``. CCNet order matters: a
+       banner-stripped doc produces different (better) MinHash
+       signatures, so this precedes the dedup stage. SCOPE IS THE
+       DELTA: the duplicated-paragraph list is computed over the
+       current run's new docs only — cross-RUN boilerplate (a banner
+       whose occurrences are spread one-per-run) is not accumulated,
+       unlike minhash's cross-run ``signatures/`` store. That is a
+       deliberate semantic: committed docs' text is immutable
+       (rewriting history on every run would make resume/lineage
+       meaningless), so a committed-scope variant must instead carry a
+       (paragraph-hash, count) side table that future runs CONSULT but
+       never retro-apply — the extension slot is documented in
+       COVERAGE.md, and within-run determinism is what resume
+       idempotency actually needs: a crash-resume re-derives the hot
+       list from the REMAINING delta, so a re-offered doc is judged
+       against its own run's corpus, never double-scrubbed (its
+       committed copy is skipped by the resume anti-join).
+    2. ``repetition_filter`` — the Gopher §A1.1 repetition gate
+       (:func:`scrub.gopher_repetition_keepers`): drops docs whose
+       duplicate-line / top-n-gram / duplicated-n-gram fractions
+       exceed the published thresholds, AFTER boilerplate stripping
+       (a nav banner must not fail an otherwise-clean page). Dropped
+       docs (and their claims) are not committed — resume re-extracts
+       and re-drops them, like ``quality_min``.
+    3. ``scrub`` — typed PII redaction (:func:`scrub.scrub_pii`):
+       ``text`` is rewritten with the redaction tokens and the docs
+       table gains the ``pii_counts`` audit map. Deterministic per
+       doc — resume-idempotent. Runs LAST so minhash signatures (and
+       the cross-run signature history) hash exactly the text that is
+       committed.
+
+    Each stage emits its own lineage row (stage = 'paradedup' /
+    'repetition' / 'scrub'). Keep these flags consistent per output
+    dir — the docs-table schema differs with them (guarded, like the
+    date-partition layout).
     """
     # argument validation BEFORE any write (ADVICE r4: a typo'd dedup
     # arg must not leave partial run state behind)
@@ -363,6 +414,91 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                 "doc_count long, bytes long, fail_count long, "
                 "wall_ms long, attempt int"
             ).coalesce(1).write.mode("append").parquet(metrics_path)
+        # --- CCNet text-quality chain (r7): paragraph dedup →
+        # repetition gate → PII scrub, all over the (url, text)
+        # projection of the staged intermediate (column-pruned scan;
+        # finalize's claim-agg joins never enter these branches), all
+        # BEFORE minhash so signatures hash the committed text.
+        textv = fields.select("url", "text")
+        if quality_min is not None:
+            textv = textv.join(docs.select("url"), "url", "left_semi")
+        para_staging_path = None
+        para_info = None
+        if paragraph_dedup:
+            t_pp = time.monotonic()
+            pd_res = dedup_paragraphs(
+                textv.select(F.col("url").alias("doc_id"), "text"))
+            # staged: the corpus-wide agg feeds three consumers
+            # (repetition gate / scrub / the docs-table text join)
+            para_staging_path = os.path.join(output_dir, "_staging",
+                                             run_id + "_para")
+            pd_res.write.mode("overwrite").parquet(para_staging_path)
+            pd_res = spark.read.parquet(para_staging_path).select(
+                F.col("doc_id").alias("url"),
+                F.col("text_kept").alias("text"),
+                "paras_total", "paras_dropped")
+            textv = pd_res.select("url", "text")
+            para_info = pd_res.select("url", "paras_total",
+                                      "paras_dropped")
+            st = pd_res.agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("paras_dropped") > 0, 1))
+                .alias("touched")).first()
+            spark.createDataFrame(
+                [(run_id, "paradedup", -1, int(st["n"]), 0,
+                  int(st["touched"]),
+                  int((time.monotonic() - t_pp) * 1000), 0)],
+                "run_id string, stage string, partition_id int, "
+                "doc_count long, bytes long, fail_count long, "
+                "wall_ms long, attempt int"
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
+        if repetition_filter:
+            t_rg = time.monotonic()
+            n_in = (docs_delta if docs_delta is not None
+                    else fields.count())
+            kept = gopher_repetition_keepers(
+                textv.select(F.col("url").alias("doc_id"), "text")
+            ).select(F.col("doc_id").alias("url")).localCheckpoint()
+            n_keep = kept.count()
+            docs = docs.join(kept, "url", "left_semi")
+            claims = claims.join(kept, "url", "left_semi")
+            textv = textv.join(kept, "url", "left_semi")
+            docs_delta = n_keep
+            spark.createDataFrame(
+                [(run_id, "repetition", -1, n_keep, 0, n_in - n_keep,
+                  int((time.monotonic() - t_rg) * 1000), 0)],
+                "run_id string, stage string, partition_id int, "
+                "doc_count long, bytes long, fail_count long, "
+                "wall_ms long, attempt int"
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
+        pii_info = None
+        if scrub:
+            t_sc = time.monotonic()
+            sc = scrub_pii(textv)
+            textv = sc.select("url",
+                              F.col("text_scrubbed").alias("text"))
+            pii_info = sc.select("url", "pii_counts")
+            st = sc.agg(
+                F.count("*").alias("n"),
+                F.count(F.when(
+                    F.exists(F.map_values("pii_counts"),
+                             lambda v: v > 0), 1)).alias("touched")
+            ).first()
+            spark.createDataFrame(
+                [(run_id, "scrub", -1, int(st["n"]), 0, int(st["touched"]),
+                  int((time.monotonic() - t_sc) * 1000), 0)],
+                "run_id string, stage string, partition_id int, "
+                "doc_count long, bytes long, fail_count long, "
+                "wall_ms long, attempt int"
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
+        if paragraph_dedup or scrub:
+            # one text-rewrite join into the docs view (equal url sets
+            # by construction — both sides passed the same gates)
+            docs = docs.drop("text").join(textv, "url")
+            if para_info is not None:
+                docs = docs.join(para_info, "url", "left")
+            if pii_info is not None:
+                docs = docs.join(pii_info, "url", "left")
         band_staging_path = None
         if dedup is not None:
             t_dd = time.monotonic()
@@ -375,12 +511,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             committed_bands = _read_table_if_exists(spark, sig_table_path)
             band_staging_path = os.path.join(output_dir, "_staging",
                                              run_id + "_sig")
-            dedup_in = fields
-            if quality_min is not None:
-                dedup_in = fields.join(docs.select("url"), "url",
-                                       "left_semi")
             keepers, overflow = _dedup_keepers(
-                dedup_in, band_staging_path, committed_bands)
+                textv, band_staging_path, committed_bands)
             n_in = (docs_delta if docs_delta is not None
                     else fields.count())
             n_keep = keepers.count()
@@ -421,6 +553,18 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                     f" but partition_output_by_date="
                     f"{partition_output_by_date} — appending the other "
                     f"layout would corrupt the table")
+            # same guard for the flag-dependent columns: appending the
+            # other schema produces a mixed-footer table whose reads
+            # silently drop or null the extra columns
+            for col, flag, opt in (("pii_counts", scrub, "scrub"),
+                                   ("paras_total", paragraph_dedup,
+                                    "paragraph_dedup")):
+                if (col in committed_docs.columns) != flag:
+                    raise ValueError(
+                        f"docs table at {docs_path} was written with "
+                        f"{opt}={col in committed_docs.columns} but this "
+                        f"run passed {opt}={flag} — keep the flag "
+                        f"consistent per output dir")
         if partition_output_by_date:
             (docs.withColumn("crawl_date",
                              F.to_date("warc_ts").cast("string"))
@@ -475,6 +619,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         _hadoop_rm(spark, staging)
         if band_staging_path is not None:
             _hadoop_rm(spark, band_staging_path)
+        if para_staging_path is not None:
+            _hadoop_rm(spark, para_staging_path)
         metrics = read_metrics(spark, metrics_path)
         return PipelineResult(run_id, spark.read.parquet(docs_path),
                               spark.read.parquet(claims_path), metrics,
@@ -493,17 +639,44 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     if cache_intermediate:
         fields_df = cached = fields_df.persist()
     claims, docs = finalize(fields_df)
-    # same stage order as the output path: quality gate, then dedup over
-    # the quality survivors
+    # same stage order as the output path: quality gate → paragraph
+    # dedup → repetition gate → scrub → minhash dedup
     if quality_min is not None:
         docs = docs.where(F.col("completeness_score") >= quality_min)
         claims = claims.join(docs.select("url"), "url", "left_semi")
+    textv = fields_df.select("url", "text")
+    if quality_min is not None:
+        textv = textv.join(docs.select("url"), "url", "left_semi")
+    para_info = None
+    if paragraph_dedup:
+        pd_res = dedup_paragraphs(
+            textv.select(F.col("url").alias("doc_id"), "text")
+        ).localCheckpoint().select(
+            F.col("doc_id").alias("url"),
+            F.col("text_kept").alias("text"),
+            "paras_total", "paras_dropped")
+        textv = pd_res.select("url", "text")
+        para_info = pd_res.select("url", "paras_total", "paras_dropped")
+    if repetition_filter:
+        kept = gopher_repetition_keepers(
+            textv.select(F.col("url").alias("doc_id"), "text")
+        ).select(F.col("doc_id").alias("url")).localCheckpoint()
+        docs = docs.join(kept, "url", "left_semi")
+        claims = claims.join(kept, "url", "left_semi")
+        textv = textv.join(kept, "url", "left_semi")
+    pii_info = None
+    if scrub:
+        sc = scrub_pii(textv)
+        textv = sc.select("url", F.col("text_scrubbed").alias("text"))
+        pii_info = sc.select("url", "pii_counts")
+    if paragraph_dedup or scrub:
+        docs = docs.drop("text").join(textv, "url")
+        if para_info is not None:
+            docs = docs.join(para_info, "url", "left")
+        if pii_info is not None:
+            docs = docs.join(pii_info, "url", "left")
     if dedup is not None:
-        dedup_in = fields_df
-        if quality_min is not None:
-            dedup_in = fields_df.join(docs.select("url"), "url",
-                                      "left_semi")
-        keepers, _ = _dedup_keepers(dedup_in, None)
+        keepers, _ = _dedup_keepers(textv, None)
         docs = docs.join(keepers, "url", "left_semi")
         claims = claims.join(keepers, "url", "left_semi")
     return PipelineResult(run_id, docs, claims, None, 0,

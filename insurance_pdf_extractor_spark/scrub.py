@@ -251,3 +251,74 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
                 *[F.coalesce(f"dup_ngram_char_frac_{n:02d}", F.lit(0.0))
                   .alias(f"dup_ngram_char_frac_{n:02d}")
                   for n in dup_ngram_ns]))
+
+
+#: Gopher §A1.1 repetition gate thresholds (Rae et al. 2021, Table A1):
+#: a document FAILS if any signal exceeds its bound. top_ngram_char_frac
+#: uses the capped count×len formula (see repeated_ngram_stats);
+#: dup_ngram_char_frac uses overlap-exact coverage (strictly ≤ the
+#: greedy reproductions' value, so this gate is marginally more lenient
+#: than DataTrove on pathological overlap — documented, not hidden).
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_ngram_char_frac_2": 0.20,
+    "top_ngram_char_frac_3": 0.18,
+    "top_ngram_char_frac_4": 0.16,
+    "dup_ngram_char_frac_05": 0.15,
+    "dup_ngram_char_frac_06": 0.14,
+    "dup_ngram_char_frac_07": 0.13,
+    "dup_ngram_char_frac_08": 0.12,
+    "dup_ngram_char_frac_09": 0.11,
+    "dup_ngram_char_frac_10": 0.10,
+}
+
+
+def gopher_repetition_keepers(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              thresholds: dict[str, float] | None = None
+                              ) -> DataFrame:
+    """Ids of documents that PASS every Gopher repetition gate — the
+    filter form of the screen, for pipeline use.
+
+    One column per threshold key: ``dup_line*`` / ``dup_ngram*`` come
+    from :func:`gopher_repetition_stats`; ``top_ngram_char_frac_{n}``
+    from :func:`repeated_ngram_stats` at n = 2, 3, 4. A doc is kept iff
+    every signal is ≤ its bound. Returns a one-column DataFrame
+    (``id_col``) for a left-semi join against the corpus.
+
+    A top-n-gram gate only applies when the top n-gram occurs ≥ 2
+    times: a single occurrence is not repetition, yet its count×len
+    value easily exceeds 16% on a short clean document (the same guard
+    the public reproductions carry). The dup-line / dup-n-gram signals
+    need no guard — they are 0 without a repeat by construction.
+
+    Shape: the three top-n screens are each one (doc, gram) agg + a
+    per-doc top-1 window; the family stats add two line aggs and one
+    tagged n-gram explode (see :func:`gopher_repetition_stats`); the
+    final combine is per-doc equi-joins on the id — balanced, no
+    skew-prone key. ~5 aggregation shuffles total, all keyed by doc id
+    or (doc id, gram)."""
+    thresholds = dict(GOPHER_REPETITION_THRESHOLDS if thresholds is None
+                      else thresholds)
+    stats = gopher_repetition_stats(df, id_col=id_col, text_col=text_col)
+    joined = stats
+    top_cols = set()
+    for n in (2, 3, 4):
+        col = f"top_ngram_char_frac_{n}"
+        if col not in thresholds:
+            continue
+        top_cols.add(col)
+        top = (repeated_ngram_stats(df, id_col=id_col, text_col=text_col,
+                                    n=n)
+               .select(id_col, F.col("top_char_frac").alias(col),
+                       F.col("top_count").alias(f"_cnt_{n}")))
+        joined = joined.join(top, id_col, "left")
+    cond = None
+    for col, bound in thresholds.items():
+        c = F.coalesce(F.col(col), F.lit(0.0)) <= bound
+        if col in top_cols:   # single occurrence ≠ repetition
+            n = col.rsplit("_", 1)[1]
+            c = c | (F.coalesce(F.col(f"_cnt_{n}"), F.lit(0)) < 2)
+        cond = c if cond is None else cond & c
+    return joined.where(cond).select(id_col)

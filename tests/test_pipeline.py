@@ -760,3 +760,162 @@ class TestSignatureStoreMaintenance:
         kept = {row["url"] for row in r.docs.select("url").collect()
                 if row["url"].endswith("?bf")}
         assert kept == set()
+
+
+class TestTextQualityChain:
+    """r7 CCNet chain: paragraph_dedup → repetition_filter → scrub as
+    opt-in pipeline stages (VERDICT r6 items 1/4), each lineage-tracked,
+    resume-idempotent, schema-guarded."""
+
+    BANNER = "SUBSCRIBE NOW | Cookie policy | All rights reserved"
+
+    def _text_pages(self, spark, rows):
+        from insurance_pdf_extractor_spark.schemas import WEB_PAGES
+        import datetime
+        ts = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(u, ts, None, t, "en") for u, t in rows], schema=WEB_PAGES)
+
+    def test_paradedup_rewrites_text_and_logs(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        body = ["Claim report with genuinely unique narrative number "
+                f"{i} covering distinct facts." for i in range(4)]
+        web = self._text_pages(spark, [
+            (f"https://x.test/{i}", f"{self.BANNER}\n{body[i]}")
+            for i in range(4)])
+        res = run_pipeline(spark, web, output_dir=str(tmp_path / "o1"),
+                           run_id="pp", paragraph_dedup=True)
+        docs = {r["url"]: r for r in res.docs.collect()}
+        assert len(docs) == 4
+        for i in range(4):
+            r = docs[f"https://x.test/{i}"]
+            assert self.BANNER not in r["text"]      # boilerplate gone
+            assert body[i] in r["text"]              # content kept
+            assert r["paras_total"] == 2
+            assert r["paras_dropped"] == 1
+        m = {x["stage"]: x for x in res.metrics.collect()}
+        assert m["paradedup"]["doc_count"] == 4
+        assert m["paradedup"]["fail_count"] == 4     # all docs touched
+
+    def test_ccnet_order_banner_does_not_cause_false_dedup(
+            self, spark, tmp_path):
+        """Two docs sharing a DOMINANT banner but with different real
+        content: minhash-only dedup collapses them (banner shingles
+        dominate the signature); paragraph dedup BEFORE minhash keeps
+        both — the order the stage chain exists to guarantee."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        banner = " ".join(
+            f"boilerplate navigation token{j} footer" for j in range(40))
+        narratives = [
+            "storm ripped the roof shingles away during the hurricane",
+            "kitchen pipe burst flooding two floors overnight quickly",
+            "vehicle collision at the junction injured the driver",
+            "warehouse fire destroyed the stored inventory completely",
+        ]
+        rows = [(f"https://b.test/{i}", f"{banner}\n{narratives[i]}")
+                for i in range(4)]
+        web = self._text_pages(spark, rows)
+        plain = run_pipeline(spark, web, output_dir=None, resume=False,
+                             dedup="minhash-lsh")
+        n_plain = plain.docs.count()
+        plain.unpersist()
+        chained = run_pipeline(spark, web, output_dir=None, resume=False,
+                               dedup="minhash-lsh", paragraph_dedup=True)
+        n_chained = chained.docs.count()
+        chained.unpersist()
+        assert n_plain < 4          # banner shingles collapse the docs
+        assert n_chained == 4       # stripped first → all survive
+
+    def test_repetition_filter_drops_and_logs(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        spam = " ".join(["buy cheap pills online now today"] * 30)
+        clean = ("The adjuster reviewed the claim file thoroughly and "
+                 "found every document in order before approving the "
+                 "final settlement amount without further questions.")
+        web = self._text_pages(spark, [
+            ("https://r.test/spam", spam),
+            ("https://r.test/clean", clean)])
+        res = run_pipeline(spark, web, output_dir=str(tmp_path / "o2"),
+                           run_id="rf", repetition_filter=True)
+        urls = {r["url"] for r in res.docs.select("url").collect()}
+        assert urls == {"https://r.test/clean"}
+        m = {x["stage"]: x for x in res.metrics.collect()}
+        assert m["repetition"]["doc_count"] == 1
+        assert m["repetition"]["fail_count"] == 1
+        # claims follow docs (the spam doc contributes nothing)
+        claim_urls = {r["url"] for r in res.claims.collect()}
+        assert "https://r.test/spam" not in claim_urls
+
+    def test_scrub_rewrites_and_audits(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        web = self._text_pages(spark, [
+            ("https://s.test/pii",
+             "Contact adjuster at jane@example.com or 555-123-4567 "
+             "regarding claim facts."),
+            ("https://s.test/clean", "No personal data in this one.")])
+        res = run_pipeline(spark, web, output_dir=str(tmp_path / "o3"),
+                           run_id="sc", scrub=True)
+        docs = {r["url"]: r for r in res.docs.collect()}
+        t = docs["https://s.test/pii"]["text"]
+        assert "[EMAIL]" in t and "[PHONE]" in t
+        assert "jane@example.com" not in t
+        assert docs["https://s.test/pii"]["pii_counts"]["email"] == 1
+        assert docs["https://s.test/clean"]["pii_counts"]["email"] == 0
+        m = {x["stage"]: x for x in res.metrics.collect()}
+        assert m["scrub"]["doc_count"] == 2
+        assert m["scrub"]["fail_count"] == 1        # docs with PII
+
+    def test_chain_resume_is_idempotent(self, spark, tmp_path):
+        """Re-offering the identical corpus to a chained output dir
+        processes zero new docs and changes nothing (scrub/paradedup
+        are deterministic per run scope; committed docs are skipped by
+        the resume anti-join before any stage runs)."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        web = self._text_pages(spark, [
+            (f"https://i.test/{i}",
+             f"{self.BANNER}\nunique narrative {i} mail{i}@example.com")
+            for i in range(4)])
+        out = str(tmp_path / "o4")
+        r1 = run_pipeline(spark, web, output_dir=out, run_id="c1",
+                          paragraph_dedup=True, scrub=True,
+                          dedup="minhash-lsh")
+        n1 = r1.docs_written
+        snap1 = {(r["url"], r["text"]) for r in
+                 r1.docs.select("url", "text").collect()}
+        r2 = run_pipeline(spark, web, output_dir=out, run_id="c2",
+                          paragraph_dedup=True, scrub=True,
+                          dedup="minhash-lsh")
+        assert r2.docs_delta == 0
+        assert r2.docs_written == n1
+        snap2 = {(r["url"], r["text"]) for r in
+                 r2.docs.select("url", "text").collect()}
+        assert snap1 == snap2
+
+    def test_schema_guard_on_flag_flip(self, spark, tmp_path):
+        """Appending a scrub=False delta to a scrub=True table (or the
+        reverse) would mix parquet schemas — guarded like the date
+        layout."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        web = self._text_pages(spark, [
+            ("https://g.test/1", "some narrative text one"),
+            ("https://g.test/2", "other narrative text two")])
+        out = str(tmp_path / "o5")
+        run_pipeline(spark, web, output_dir=out, run_id="g1", scrub=True)
+        more = self._text_pages(spark,
+                                [("https://g.test/3", "third text")])
+        with pytest.raises(ValueError, match="scrub"):
+            run_pipeline(spark, more, output_dir=out, run_id="g2")
+        with pytest.raises(ValueError, match="paragraph_dedup"):
+            run_pipeline(spark, more, output_dir=out, run_id="g3",
+                         scrub=True, paragraph_dedup=True)
+
+    def test_chain_off_by_default(self, spark, web_pages, tmp_path):
+        """A default run's docs schema carries none of the chain
+        columns — byte-compat with r6 outputs."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        res = run_pipeline(spark, web_pages.limit(6),
+                           output_dir=str(tmp_path / "o6"), run_id="d1")
+        for col in ("pii_counts", "paras_total", "paras_dropped"):
+            assert col not in res.docs.columns
+        stages = {r["stage"] for r in res.metrics.collect()}
+        assert not stages & {"scrub", "paradedup", "repetition"}

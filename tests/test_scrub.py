@@ -9,7 +9,8 @@ pipeline cannot ship without one.
 import pytest
 
 from insurance_pdf_extractor_spark.scrub import (
-    GOPHER_DUP_NGRAM_NS, PII_PATTERNS, gopher_repetition_stats,
+    GOPHER_DUP_NGRAM_NS, GOPHER_REPETITION_THRESHOLDS, PII_PATTERNS,
+    gopher_repetition_keepers, gopher_repetition_stats,
     repeated_ngram_stats, scrub_pii)
 
 _PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
@@ -222,6 +223,28 @@ class TestGopherRepetitionStats:
     def test_plan_is_udf_free(self, stats):
         plan = _plan(stats[1])
         assert not any(m in plan for m in _PY_MARKERS), plan
+
+    def test_keepers_gate(self, spark):
+        """gopher_repetition_keepers: spam fails, clean passes, and a
+        short clean doc is NOT killed by its single-occurrence top
+        n-gram (count ≥ 2 guard, as in the public reproductions)."""
+        rows = [
+            (1, " ".join(["buy cheap pills online now"] * 25)),
+            (2, "The adjuster reviewed the file and approved the "
+                "settlement after checking every single document."),
+            (3, "Short clean sentence."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        kept = {r["doc_id"]
+                for r in gopher_repetition_keepers(df).collect()}
+        assert kept == {2, 3}
+
+    def test_thresholds_cover_the_family(self):
+        keys = set(GOPHER_REPETITION_THRESHOLDS)
+        assert {"dup_line_frac", "dup_line_char_frac"} <= keys
+        assert {f"dup_ngram_char_frac_{n:02d}"
+                for n in GOPHER_DUP_NGRAM_NS} <= keys
+        assert {f"top_ngram_char_frac_{n}" for n in (2, 3, 4)} <= keys
 
     def test_one_ngram_explode_for_all_n(self, stats):
         """All six n-gram sizes ride ONE Generate over the document
