@@ -1235,6 +1235,11 @@ def q_pq_ivfpq_topk(spark, sf):
       just those buckets' stored codes — on the same codes fixture with
       a deterministic bucket assignment (vec_id % 4) and arithmetic
       coarse centroids, so the whole composition is DuckDB-expressible.
+    - kind='refined' (r7, VERDICT r6 item 5): the same composed query
+      with ``refine=50`` — ADC shortlists 50 candidates, their FULL
+      vectors (the first 8 dims of the real embeddings — the fixture
+      codes are 8-dim) are fetched by broadcast semi-join and re-scored
+      exactly; result carries exact_dist instead of approx_dist.
     """
     from insurance_pdf_extractor_spark.ann import ivfpq_topk, pq_topk
     emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 500)
@@ -1253,10 +1258,20 @@ def q_pq_ivfpq_topk(spark, sf):
     index = codes.withColumn(
         "bucket", (F.col("vec_id") % _IVF_NB).cast("int"))
     comp = ivfpq_topk(index, cents, books, _PQ_QVEC, k=10, n_probes=2)
+    emb8 = emb.select("vec_id", F.slice("embedding", 1, _PQ_M * _PQ_SUB)
+                      .alias("embedding"))
+    refined = ivfpq_topk(index, cents, books, _PQ_QVEC, k=10,
+                         n_probes=2, refine=50, emb=emb8)
+    nd = F.lit(None).cast("double")
     return (adc.select(F.lit("adc").alias("kind"), "vec_id",
-                       "approx_dist")
+                       "approx_dist", nd.alias("exact_dist"))
             .unionByName(comp.select(F.lit("ivfpq").alias("kind"),
-                                     "vec_id", "approx_dist")))
+                                     "vec_id", "approx_dist",
+                                     nd.alias("exact_dist")))
+            .unionByName(refined.select(F.lit("refined").alias("kind"),
+                                        "vec_id",
+                                        nd.alias("approx_dist"),
+                                        "exact_dist")))
 
 
 #: candidate-pair fixture for the graded keeper election: a diameter-6
@@ -1935,14 +1950,35 @@ def _pq_ivfpq_topk_sql() -> str:
               WHERE CAST(vec_id % {_IVF_NB} AS INT)
                     IN (SELECT cbucket FROM probes)
               GROUP BY vec_id
+            ),
+            rcand AS (
+              SELECT vec_id FROM iscored
+              ORDER BY approx_dist ASC, vec_id ASC LIMIT 50
+            ),
+            rexact AS (
+              SELECT e.vec_id,
+                     round(sum((CAST(e.embedding[q.pos + 1] AS DOUBLE)
+                                - q.qval)
+                               * (CAST(e.embedding[q.pos + 1] AS DOUBLE)
+                                  - q.qval)), 6) AS exact_dist
+              FROM embeddings e, qfull q
+              WHERE e.vec_id IN (SELECT vec_id FROM rcand)
+              GROUP BY e.vec_id
             )
-            SELECT 'adc' AS kind, vec_id, approx_dist FROM (
+            SELECT 'adc' AS kind, vec_id, approx_dist,
+                   CAST(NULL AS DOUBLE) AS exact_dist FROM (
               SELECT vec_id, approx_dist FROM scored
               ORDER BY approx_dist ASC, vec_id ASC LIMIT 10)
             UNION ALL
-            SELECT 'ivfpq', vec_id, approx_dist FROM (
+            SELECT 'ivfpq', vec_id, approx_dist,
+                   CAST(NULL AS DOUBLE) FROM (
               SELECT vec_id, approx_dist FROM iscored
-              ORDER BY approx_dist ASC, vec_id ASC LIMIT 10)"""
+              ORDER BY approx_dist ASC, vec_id ASC LIMIT 10)
+            UNION ALL
+            SELECT 'refined', vec_id, CAST(NULL AS DOUBLE), exact_dist
+            FROM (
+              SELECT vec_id, exact_dist FROM rexact
+              ORDER BY exact_dist ASC, vec_id ASC LIMIT 10)"""
 
 
 def _dedup_verdict_sql() -> str:

@@ -1,5 +1,6 @@
 """Multi-probe IVF ANN (insurance_pdf_extractor_spark/ann.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.01"
@@ -296,6 +297,90 @@ class TestIVFPQ:
                  if "windowspecdefinition" in ln]
         assert specs and all("dc#" in ln for ln in specs)
         assert "BroadcastHashJoin" in plan           # dist table + probes
+
+
+class TestIVFPQRefine:
+    """refine= re-rank (VERDICT r6 item 5): ADC shortlists R candidates,
+    ONLY those R full vectors are fetched (broadcast semi-join) and
+    re-scored exactly — recall approaches exact search as R grows while
+    the full-precision reads stay O(R)."""
+
+    def _setup(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.ann import ivfpq_build
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents, books, index = ivfpq_build(
+            emb, n_clusters=4, m=8, k=8, kmeans_iter=3, pq_iter=3)
+        ipath = str(tmp_path / "index")
+        index.write.mode("overwrite").partitionBy("bucket").parquet(ipath)
+        stored = spark.read.parquet(ipath)
+        q_vec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return emb, cents.localCheckpoint(), books.localCheckpoint(), \
+            stored, q_vec
+
+    def test_refine_improves_recall_over_adc(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.ann import ivfpq_topk
+        emb, cents, books, stored, q_vec = self._setup(spark, tmp_path)
+        qless = stored.where(F.col("vec_id") != 0)
+        truth = set(TestIVFPQ._exact_sq_topk(
+            TestIVFPQ(), spark, emb, 0, 10))
+        adc = {r["vec_id"] for r in
+               ivfpq_topk(qless, cents, books, q_vec, k=10,
+                          n_probes=4).collect()}
+        ref = {r["vec_id"] for r in
+               ivfpq_topk(qless, cents, books, q_vec, k=10, n_probes=4,
+                          refine=200,
+                          emb=emb.where(F.col("vec_id") != 0)).collect()}
+        # with all buckets probed and R=200 of ~2k vectors, the exact
+        # re-rank must dominate quantized ADC against the exact truth
+        assert len(ref & truth) >= len(adc & truth)
+        assert len(ref & truth) / 10 >= 0.8
+
+    def test_refine_is_exact_within_shortlist(self, spark, tmp_path):
+        """Every vector the shortlist contains is ranked by its EXACT
+        distance: with R = corpus size the result IS exact search."""
+        from insurance_pdf_extractor_spark.ann import ivfpq_topk
+        emb, cents, books, stored, q_vec = self._setup(spark, tmp_path)
+        qless = stored.where(F.col("vec_id") != 0)
+        n = qless.count()
+        got = [r["vec_id"] for r in
+               ivfpq_topk(qless, cents, books, q_vec, k=10, n_probes=4,
+                          refine=n,
+                          emb=emb.where(F.col("vec_id") != 0)).collect()]
+        truth = TestIVFPQ._exact_sq_topk(TestIVFPQ(), spark, emb, 0, 10)
+        assert got == truth
+
+    def test_refine_plan_vector_scan_is_candidate_pruned(
+            self, spark, tmp_path):
+        """The full-vector fetch is a BROADCAST LEFT-SEMI join with the
+        R-row shortlist as the build side — the vector table never
+        enters a shuffle and nothing re-encodes."""
+        from insurance_pdf_extractor_spark.ann import ivfpq_topk
+        emb, cents, books, stored, q_vec = self._setup(spark, tmp_path)
+        df = ivfpq_topk(stored, cents, books, q_vec, k=5, n_probes=2,
+                        refine=50, emb=emb)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        semi = [ln for ln in plan.splitlines()
+                if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+        assert semi, plan                       # the pruned fetch
+        # the vector parquet is read ONLY under that semi-join (scan
+        # count == 1: one vector branch, no second full-scan branch)
+        assert plan.count("embeddings.parquet") == 1, plan
+        # no shuffle of the vector table: every exchange in the plan is
+        # broadcast-side or the final orderBy's range partitioning
+        import re
+        ex = [ln for ln in plan.splitlines()
+              if re.search(r"\bExchange (hash|range)", ln)]
+        assert all("rangepartitioning" in ln or "embedding#" not in ln
+                   for ln in ex), plan
+
+    def test_refine_validation(self, spark, tmp_path):
+        from insurance_pdf_extractor_spark.ann import ivfpq_topk
+        emb, cents, books, stored, q_vec = self._setup(spark, tmp_path)
+        with pytest.raises(ValueError, match="emb="):
+            ivfpq_topk(stored, cents, books, q_vec, k=5, refine=50)
+        with pytest.raises(ValueError, match="refine"):
+            ivfpq_topk(stored, cents, books, q_vec, k=50, refine=10,
+                       emb=emb)
 
 
 class TestKMeansInit:
