@@ -262,6 +262,18 @@ def main() -> None:
                            quality_min=0.7)
         return res.docs.select("url")
 
+    def pipeline_scrub_pass(spark, sf_dir):
+        """Extraction + the r7 CCNet text-quality chain (paragraph
+        dedup → Gopher repetition gate → PII scrub), minhash dedup OFF
+        so the chain's own marginal cost vs extract_html_docs is
+        readable (dedup's cost is pipeline_dedup_pass's job). VERDICT
+        r6 item 8."""
+        web = E._web_pages_from_documents(spark, sf_dir)
+        res = run_pipeline(spark, web, output_dir=None, resume=False,
+                           paragraph_dedup=True, repetition_filter=True,
+                           scrub=True)
+        return res.docs.select("url")
+
     # IVF-PQ: build staged once (the index is a persisted artifact by
     # design); the timed entry is the QUERY phase over stored codes
     from insurance_pdf_extractor_spark import ann as _ann_mod
@@ -400,6 +412,8 @@ def main() -> None:
         "media_derivatives": media_derivatives,
         # r5: previously-untimed surfaces (VERDICT r4 items 1/4/7)
         "pipeline_quality_pass": pipeline_quality_pass,
+        # r7: the wired CCNet chain (VERDICT r6 items 1/8)
+        "pipeline_scrub_pass": pipeline_scrub_pass,
         "ivfpq_topk": ivfpq_query,
         "crossrun_probe_h1": _crossrun_probe(1),
         "crossrun_probe_h2": _crossrun_probe(2),
