@@ -254,17 +254,25 @@ class TestR5OperatorPlans:
 
     def test_pq_adc_topk_prunes_vector_column(self, spark):
         """The graded ADC + composed IVF×PQ query builds codes from
-        vec_id arithmetic — every embeddings scan must prune the fat
-        vector column, and the distance table must come in as a
-        broadcast join."""
+        vec_id arithmetic — every CODE-side embeddings scan must prune
+        the fat vector column, and the distance table must come in as
+        a broadcast join. Since r7 the query also carries the
+        kind='refined' branch, whose ONE vector-reading scan is the
+        point (exact re-rank) — that scan is allowed, and the plan
+        must contain the broadcast LEFT-SEMI shortlist join that
+        prunes it to the R candidates."""
         import __spark_entry__ as E
         df = E.queries()["pq_ivfpq_topk"](spark, SF)
         plan = _plan(df)
         scan = [ln for ln in plan.splitlines()
                 if "FileScan" in ln and "embeddings" in ln]
-        assert scan and all("embedding" not in ln.split("ReadSchema")[-1]
-                            for ln in scan), scan
+        vec_scans = [ln for ln in scan
+                     if "embedding" in ln.split("ReadSchema")[-1]]
+        assert scan and len(vec_scans) == 1, scan
         assert "BroadcastHashJoin" in plan
+        semi = [ln for ln in plan.splitlines()
+                if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+        assert semi, plan      # the refine shortlist prune
 
     def test_dedup_verdict_keeper_election(self, spark):
         """Fixture graph: chain 1-7, triangle 10-12, pair 20-21, star
