@@ -143,6 +143,23 @@ def repeated_ngram_stats(df: DataFrame, id_col: str = "doc_id",
 GOPHER_DUP_NGRAM_NS: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
 
 
+def _tagged_ngram_occurrences(base: DataFrame,
+                              ns: tuple[int, ...]) -> DataFrame:
+    """(_id, n, pos, gram) occurrence rows for EVERY n in ``ns`` from
+    ONE explode over one split: per-n arrays of (n, pos, gram) structs
+    are concatenated before the explode, so the document text is
+    scanned once however many n-gram sizes ride it. ``base`` must carry
+    (_id, _text)."""
+    def _tagged(n: int):
+        return F.transform(
+            _word_ngrams(F.col("_text"), n),
+            lambda g, i: F.struct(F.lit(n).alias("n"), i.alias("pos"),
+                                  g.alias("gram")))
+    return (base.select("_id", F.explode(F.concat(
+        *[_tagged(n) for n in ns])).alias("o"))
+        .select("_id", "o.n", "o.pos", "o.gram"))
+
+
 def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             dup_ngram_ns: tuple[int, ...] =
@@ -179,13 +196,22 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
     - n-grams: ONE explode emits (doc, n, pos, gram) for every n in one
       pass over one ``split`` (per-n arrays of structs concatenated
       before the explode — the document text is scanned once, not six
-      times); a window count keyed (doc, n, gram) marks duplicated
-      occurrences; covered word indices explode from ``sequence`` and
+      times). The dup-detect stage never needs the gram TEXT
+      downstream (coverage is over word indices), so occurrences
+      immediately project ``xxhash64(gram)`` — the up-to-10-word gram
+      strings never enter a shuffle (~6× fewer shuffle bytes at
+      n=5..10), and a within-doc 64-bit collision (~10³ grams/doc →
+      P ≈ 1e-13) is the accepted trade. Duplicated-gram positions come
+      from ONE ``collect_list(pos)`` aggregation keyed
+      (doc, n, gram_hash) filtered to ``size ≥ 2`` — a single shuffle
+      of the occurrence table with no sort (a window count would sort
+      it) and no join-back (which would scan the text a second time;
+      per-group arrays are bounded by one document's occurrences of
+      one gram). Covered word indices explode from ``sequence`` and
       join the (doc, widx, word) table, both sides keyed (doc, widx).
-      Shuffle keys are (doc, n, gram) / (doc, widx) — balanced unless
-      one document is itself executor-sized, which upstream chunking
-      forbids. At the 10^12-doc tier substitute ``xxhash64(gram)`` for
-      the gram string to cut shuffle bytes; the plan shape is unchanged.
+      Shuffle keys are (doc, n, gram_hash) / (doc, widx) — balanced
+      unless one document is itself executor-sized, which upstream
+      chunking forbids.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(F.col(id_col).alias("_id"), text.alias("_text"))
@@ -203,22 +229,17 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
         F.sum((F.col("c") - 1) * F.length("k")).alias("_lchars_dup"))
 
     # --- duplicated-n-gram word-character coverage ---------------------
-    def _tagged(n: int):
-        return F.transform(
-            _word_ngrams(F.col("_text"), n),
-            lambda g, i: F.struct(F.lit(n).alias("n"), i.alias("pos"),
-                                  g.alias("gram")))
-
-    occ = (base.select("_id", F.explode(F.concat(
-        *[_tagged(n) for n in dup_ngram_ns])).alias("o"))
-        .select("_id", "o.n", "o.pos", "o.gram"))
-    dup_occ = (occ.withColumn(
-        "c", F.count("*").over(Window.partitionBy("_id", "n", "gram")))
-        .where(F.col("c") >= 2))
-    covered = (dup_occ.select(
-        "_id", "n",
-        F.explode(F.sequence("pos", F.col("pos") + F.col("n") - 1))
-        .alias("widx"))
+    occ = (_tagged_ngram_occurrences(base, dup_ngram_ns)
+           .select("_id", "n", "pos", F.xxhash64("gram").alias("gh")))
+    dup_pos = (occ.groupBy("_id", "n", "gh")
+               .agg(F.collect_list("pos").alias("ps"))
+               .where(F.size("ps") >= 2))
+    covered = (dup_pos.select(
+        "_id", "n", F.explode("ps").alias("pos"))
+        .select(
+            "_id", "n",
+            F.explode(F.sequence("pos", F.col("pos") + F.col("n") - 1))
+            .alias("widx"))
         .distinct())
     words = (base.select("_id", F.posexplode(
         F.split(F.trim("_text"), r"\s+")).alias("widx", "word")))
@@ -293,27 +314,45 @@ def gopher_repetition_keepers(df: DataFrame, id_col: str = "doc_id",
     the public reproductions carry). The dup-line / dup-n-gram signals
     need no guard — they are 0 without a repeat by construction.
 
-    Shape: the three top-n screens are each one (doc, gram) agg + a
-    per-doc top-1 window; the family stats add two line aggs and one
-    tagged n-gram explode (see :func:`gopher_repetition_stats`); the
-    final combine is per-doc equi-joins on the id — balanced, no
-    skew-prone key. ~5 aggregation shuffles total, all keyed by doc id
-    or (doc id, gram)."""
+    Shape: ALL top-n screens share ONE tagged n-gram explode (the same
+    one-scan trick as the dup family — see
+    :func:`_tagged_ngram_occurrences`), one (doc, n, gram) agg, and one
+    per-(doc, n) top-1 window; the family stats add two line aggs and
+    their own tagged explode. The text is scanned 3× total (lines,
+    words, n-grams×2) regardless of how many n-gram sizes are gated —
+    per-n separate screens would scan it once per n. The final combine
+    is per-doc equi-joins on the id — balanced, no skew-prone key."""
     thresholds = dict(GOPHER_REPETITION_THRESHOLDS if thresholds is None
                       else thresholds)
     stats = gopher_repetition_stats(df, id_col=id_col, text_col=text_col)
     joined = stats
-    top_cols = set()
-    for n in (2, 3, 4):
-        col = f"top_ngram_char_frac_{n}"
-        if col not in thresholds:
-            continue
-        top_cols.add(col)
-        top = (repeated_ngram_stats(df, id_col=id_col, text_col=text_col,
-                                    n=n)
-               .select(id_col, F.col("top_char_frac").alias(col),
-                       F.col("top_count").alias(f"_cnt_{n}")))
-        joined = joined.join(top, id_col, "left")
+    top_ns = tuple(n for n in (2, 3, 4)
+                   if f"top_ngram_char_frac_{n}" in thresholds)
+    top_cols = {f"top_ngram_char_frac_{n}" for n in top_ns}
+    if top_ns:
+        base = df.select(F.col(id_col).alias("_id"),
+                         F.col(text_col).alias("_text"))
+        counted = (_tagged_ngram_occurrences(base, top_ns)
+                   .groupBy("_id", "n", "gram")
+                   .agg(F.count("*").alias("cnt")))
+        w = Window.partitionBy("_id", "n").orderBy(
+            F.desc("cnt"), F.asc("gram"))
+        top1 = (counted.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .join(base.select("_id", F.length("_text").alias("_len")),
+                      "_id"))
+        frac = F.when(F.col("_len") > 0,
+                      F.least(F.lit(1.0),
+                              F.round(F.col("cnt") * F.length("gram")
+                                      / F.col("_len"), 4))) \
+                .otherwise(F.lit(0.0))
+        tops = top1.groupBy("_id").agg(
+            *[F.max(F.when(F.col("n") == n, frac))
+              .alias(f"top_ngram_char_frac_{n}") for n in top_ns],
+            *[F.max(F.when(F.col("n") == n, F.col("cnt")))
+              .alias(f"_cnt_{n}") for n in top_ns])
+        joined = joined.join(
+            tops.withColumnRenamed("_id", id_col), id_col, "left")
     cond = None
     for col, bound in thresholds.items():
         c = F.coalesce(F.col(col), F.lit(0.0)) <= bound
