@@ -1507,6 +1507,92 @@ def q_pipeline_fixture_claims(spark, sf):
                              "math_valid", "math_diff")
 
 
+def q_event_window_ops(spark, sf):
+    """W2 forward fill + W4 lead, merged into ONE window pass (r7
+    registry rotation to free slots for substring_dedup /
+    lm_perplexity): both functions share the (user_id, ts, event_id)
+    sort, so one Exchange + one Sort serves both — the merged form is
+    also the better plan (the separate queries each paid their own
+    shuffle+sort of the full events table)."""
+    ev = _t(spark, sf, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)) \
+         .otherwise(F.round("value", 2))
+    ord_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fill_w = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    return (ev.withColumn("v", v)
+            .select("user_id", "event_id",
+                    F.last("v", ignorenulls=True).over(fill_w)
+                    .alias("filled"),
+                    F.lead("event_id").over(ord_w)
+                    .alias("next_event_id")))
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-k + IVF coarse-bucketed top-k, kind-tagged
+    (r7 registry rotation — the two formerly-separate rows, same
+    operators, one graded row)."""
+    brute = q_ann_bruteforce(spark, sf).select(
+        F.lit("brute").alias("kind"), "vec_id",
+        F.lit(None).cast("int").alias("label"), "cosine")
+    ivf = q_ann_ivf_bucketed(spark, sf).select(
+        F.lit("ivf").alias("kind"), "vec_id", "label", "cosine")
+    return brute.unionByName(ivf)
+
+
+#: adversarial fixture rows for the substring-dedup oracle: a shared
+#: cross-doc 12-word boilerplate block, a within-doc 8-gram repeat,
+#: null text, and a doc too short to window (the cases the real docs
+#: slice can't guarantee to exercise)
+_SUBSTR_BOILER = ("please accept our terms of service before "
+                  "continuing to use this site")
+_SUBSTR_VALUES = [
+    ("fx1", f"unique alpha narrative one {_SUBSTR_BOILER} tail words"),
+    ("fx2", f"different beta opening {_SUBSTR_BOILER} other close"),
+    ("fx3", "self repeat one two three four five six seven eight MID "
+            "one two three four five six seven eight"),
+    ("fx4", None),
+    ("fx5", "too short"),
+]
+_SUBSTR_K = 8
+
+
+def q_substring_dedup(spark, sf):
+    """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr,
+    word-token granularity — :func:`dedup.dedup_substrings`): every
+    k-word span occurring >= 2 times in the corpus is cut from all its
+    hosts; overlapping windows merge to maximal spans. Corpus = the
+    sf documents slice (real duplicated template grams) + adversarial
+    fixtures (cross-doc block / within-doc repeat / null / short)."""
+    from insurance_pdf_extractor_spark.dedup import dedup_substrings
+    docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 200)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "text"))
+    fx = _values_df(spark, _SUBSTR_VALUES, ["doc_id", "text"])
+    return dedup_substrings(docs.unionByName(fx), k=_SUBSTR_K)
+
+
+_LM_VOCAB = 1000
+
+
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 §4.3 surface,
+    add-one unigram stand-in for KenLM — lm.py): fit a bounded-vocab
+    unigram model ON the corpus, score every doc's perplexity / OOV
+    fraction, and tag CCNet head/middle/tail terciles. Fit is one agg +
+    distributed top-K; scoring is a broadcast-vocab join (the hot
+    stopwords never shuffle)."""
+    from insurance_pdf_extractor_spark.lm import (ppl_buckets,
+                                                  unigram_doc_scores,
+                                                  unigram_fit)
+    docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 300)
+            .select("doc_id", "text"))
+    model = unigram_fit(docs, vocab_size=_LM_VOCAB)
+    scores = unigram_doc_scores(docs, model)
+    return (ppl_buckets(scores)
+            .join(scores.select("doc_id", "n_tokens", "oov_frac",
+                                "nll"), "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXACTLY 50 entries, flagship first: the driver's correctness gate
     # grades the first 50 in dict order (r2 verdict item 1)
@@ -1528,8 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins / aggs / windows (SURVEY §2.4-2.8)
         "pricing_summary": q_pricing_summary,
         "top1_line_per_order": q_top1_line_per_order,
-        "forward_fill_events": q_forward_fill_events,
-        "lead_bounds_events": q_lead_bounds_events,
+        # W2+W4 merged into one window pass (r7 rotation — freed a slot
+        # for the substring-dedup / LM rows)
+        "event_window_ops": q_event_window_ops,
         "anti_join_customers": q_anti_join_customers,
         "semi_join_parts": q_semi_join_parts,
         "set_diff_both_ways": q_set_diff_both_ways,
@@ -1555,8 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_pairs": q_lsh_band_pairs,
         "simhash64": q_simhash64,
         # similarity search over embeddings
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_ivf_bucketed": q_ann_ivf_bucketed,
+        "ann_topk": q_ann_topk,   # brute + ivf kinds (r7 rotation)
         "embedding_bucket_stats": q_embedding_bucket_stats,
         # extraction-operator twins (four text micro-queries merged)
         "text_line_ops": q_text_line_ops,
@@ -1577,6 +1663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verdict": q_dedup_verdict,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize_events": q_sessionize_events,
+        # r7: exact-substring dedup (Lee et al.) + CCNet LM perplexity
+        "substring_dedup": q_substring_dedup,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2213,6 +2302,134 @@ def _scrub_ops_sql() -> str:
             FROM gf"""
 
 
+def _substring_dedup_sql() -> str:
+    """Oracle twin of q_substring_dedup: the SAME corpus (documents
+    slice + fixture VALUES), k-word windows via a list comprehension
+    over one split, corpus-wide HAVING-count dup detection keyed by the
+    gram STRING (the Spark side keys xxhash64(gram) — identical
+    verdicts absent a 64-bit collision, ~0 at this scale), coverage via
+    lateral range unnest, maximal spans via gaps-and-islands, and an
+    anti-join + ordered string_agg re-assembly."""
+    k = _SUBSTR_K
+    vals = ", ".join(
+        "(%s, %s)" % (f"'{d}'",
+                      "CAST(NULL AS VARCHAR)" if t is None
+                      else "'" + t.replace("'", "''") + "'")
+        for d, t in _SUBSTR_VALUES)
+    return f"""
+            WITH corpus AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+              FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT * FROM (VALUES {vals}) v(doc_id, text)
+            ), base AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(coalesce(text, '')) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS words
+              FROM corpus
+            ), words AS (
+              SELECT doc_id, unnest(words) AS word,
+                     unnest(range(0, len(words))) AS widx
+              FROM base
+            ), grams AS (
+              SELECT doc_id,
+                     unnest([array_to_string(words[i:i+{k - 1}], ' ')
+                             FOR i IN range(1, len(words) - {k} + 2)])
+                         AS gram,
+                     unnest(range(0, len(words) - {k} + 1)) AS pos
+              FROM base WHERE len(words) >= {k}
+            ), dup AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+            ), covered AS (
+              SELECT DISTINCT doc_id, u.widx
+              FROM (SELECT g.doc_id, g.pos
+                    FROM grams g JOIN dup USING (gram)) d,
+                   unnest(range(d.pos, d.pos + {k})) u(widx)
+            ), isl AS (
+              SELECT doc_id, widx,
+                     widx - row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY widx) AS grp
+              FROM covered
+            ), cov_stats AS (
+              SELECT doc_id, count(*) AS removed,
+                     count(DISTINCT grp) AS spans
+              FROM isl GROUP BY doc_id
+            ), kept AS (
+              SELECT w.doc_id,
+                     string_agg(w.word, ' ' ORDER BY w.widx) AS tk
+              FROM words w ANTI JOIN covered c
+                ON w.doc_id = c.doc_id AND w.widx = c.widx
+              GROUP BY w.doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS total FROM words GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CASE WHEN b.text IS NULL THEN NULL
+                        WHEN coalesce(cs.removed, 0) = 0 THEN b.text
+                        ELSE coalesce(kept.tk, '') END AS text_kept,
+                   coalesce(t.total, 0) AS words_total,
+                   coalesce(cs.removed, 0) AS words_removed,
+                   coalesce(cs.spans, 0) AS spans_removed
+            FROM base b
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN cov_stats cs USING (doc_id)
+            LEFT JOIN kept USING (doc_id)"""
+
+
+def _lm_perplexity_sql() -> str:
+    """Oracle twin of q_lm_perplexity: identical tokenization
+    (lower+trim, \\s+ split, drop empties), identical top-V vocab
+    (count desc, token asc), the same add-one closed form
+    p = (c+1)/(N+V+1), and quantile_cont terciles over the 4-dp-rounded
+    ppl (Spark's exact `percentile` uses the same (n-1)*p linear
+    interpolation)."""
+    return f"""
+            WITH base AS (
+              SELECT doc_id, lower(trim(coalesce(text, ''))) AS t
+              FROM documents WHERE doc_id < 300
+            ), toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS tok
+                FROM base) WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), vocab AS (
+              SELECT tok, cnt FROM counts
+              ORDER BY cnt DESC, tok ASC LIMIT {_LM_VOCAB}
+            ), tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+            per AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     round(avg(CASE WHEN vv.cnt IS NULL
+                                    THEN 1.0 ELSE 0.0 END), 4)
+                         AS oov_frac,
+                     round(-avg(ln((coalesce(vv.cnt, 0) + 1.0)
+                                   / (tot.n + tot.v + 1.0))), 4) AS nll,
+                     round(exp(-avg(ln((coalesce(vv.cnt, 0) + 1.0)
+                                       / (tot.n + tot.v + 1.0)))), 4)
+                         AS ppl
+              FROM toks t LEFT JOIN vocab vv USING (tok), tot
+              GROUP BY t.doc_id
+            ), scored AS (
+              SELECT b.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+                     coalesce(per.oov_frac, 0.0) AS oov_frac,
+                     per.nll, per.ppl
+              FROM (SELECT DISTINCT doc_id FROM base) b
+              LEFT JOIN per USING (doc_id)
+            ), cuts AS (
+              SELECT quantile_cont(ppl, [1.0/3, 2.0/3]) AS c FROM scored
+            )
+            SELECT s.doc_id, s.ppl,
+                   CASE WHEN s.ppl IS NULL THEN 'tail'
+                        WHEN s.ppl <= c[1] THEN 'head'
+                        WHEN s.ppl <= c[2] THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   s.n_tokens, s.oov_frac, s.nll
+            FROM scored s, cuts"""
+
+
 def _finval_sql() -> str:
     # DOUBLE casts matter: DuckDB infers DECIMAL for the VALUES literals,
     # where 200.02 - 200.00 == 0.02 exactly; the reference does Python
@@ -2367,19 +2584,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
                       ORDER BY l_extendedprice DESC, l_linenumber) AS rn
                   FROM lineitem) WHERE rn = 1""",
-        "forward_fill_events": """
+        "event_window_ops": """
             SELECT user_id, event_id,
                    last_value(v IGNORE NULLS) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS filled
-            FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL
-                       ELSE round(value, 2) END AS v FROM events)""",
-        "lead_bounds_events": """
-            SELECT user_id, event_id,
+                       AS filled,
                    lead(event_id) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id) AS next_event_id
-            FROM events""",
+            FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL
+                       ELSE round(value, 2) END AS v FROM events)""",
         "anti_join_customers": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
@@ -2638,20 +2852,21 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b USING (band_no, bh)
             WHERE a.doc_id < b.doc_id""",
         "simhash64": _simhash64_sql(),
-        "ann_bruteforce": f"""
-            WITH q AS (SELECT embedding AS q_emb FROM embeddings
-                       WHERE vec_id = 0)
-            SELECT e.vec_id, {cos} AS cosine
-            FROM embeddings e, q
-            WHERE e.vec_id <> 0
-            ORDER BY cosine DESC, e.vec_id LIMIT 5""",
-        "ann_ivf_bucketed": f"""
+        "ann_topk": f"""
             WITH q AS (SELECT embedding AS q_emb, label AS q_label
-                       FROM embeddings WHERE vec_id = 0)
-            SELECT e.vec_id, e.label, {cos} AS cosine
-            FROM embeddings e JOIN q ON e.label = q.q_label
-            WHERE e.vec_id <> 0
-            ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+                       FROM embeddings WHERE vec_id = 0),
+            brute AS (
+              SELECT 'brute' AS kind, e.vec_id,
+                     CAST(NULL AS INT) AS label, {cos} AS cosine
+              FROM embeddings e, q
+              WHERE e.vec_id <> 0
+              ORDER BY cosine DESC, e.vec_id LIMIT 5),
+            ivf AS (
+              SELECT 'ivf' AS kind, e.vec_id, e.label, {cos} AS cosine
+              FROM embeddings e JOIN q ON e.label = q.q_label
+              WHERE e.vec_id <> 0
+              ORDER BY cosine DESC, e.vec_id LIMIT 5)
+            SELECT * FROM brute UNION ALL SELECT * FROM ivf""",
         "embedding_bucket_stats": """
             SELECT label, count(*) AS n,
                    round(avg(cast(embedding[1] as double)), 4) AS avg_dim1,
@@ -2717,6 +2932,8 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, length(text) + 1, 80)) AS start
                   FROM documents WHERE doc_id < 20)""",
         "scrub_ops": _scrub_ops_sql(),
+        "substring_dedup": _substring_dedup_sql(),
+        "lm_perplexity": _lm_perplexity_sql(),
         "embedding_near_dup": """
             WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200),
             pairs AS (

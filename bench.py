@@ -274,6 +274,30 @@ def main() -> None:
                            scrub=True)
         return res.docs.select("url")
 
+    def substr_dedup_full(spark, sf_dir):
+        """r7: exact duplicated-substring removal (Lee et al.) over the
+        FULL sf documents table — the corpus-wide window hash agg +
+        coverage join at bench scale (the registry row grades a slice;
+        this times the whole corpus)."""
+        from insurance_pdf_extractor_spark.dedup import dedup_substrings
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")) \
+            .select("doc_id", "text")
+        return dedup_substrings(docs, k=10).select(
+            "doc_id", "words_removed", "spans_removed")
+
+    def lm_ppl_full(spark, sf_dir):
+        """r7: unigram-LM fit + perplexity scoring + CCNet terciles
+        over the FULL sf documents table (fit agg + broadcast-vocab
+        scoring at bench scale)."""
+        from insurance_pdf_extractor_spark.lm import (
+            ppl_buckets, unigram_doc_scores, unigram_fit)
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")) \
+            .select("doc_id", "text")
+        model = unigram_fit(docs, vocab_size=65536)
+        return ppl_buckets(unigram_doc_scores(docs, model))
+
     # IVF-PQ: build staged once (the index is a persisted artifact by
     # design); the timed entry is the QUERY phase over stored codes
     from insurance_pdf_extractor_spark import ann as _ann_mod
@@ -394,7 +418,7 @@ def main() -> None:
         "skew_extract_giants": extract_skewed,
         "pricing_summary": qs["pricing_summary"],
         "top1_line_per_order": qs["top1_line_per_order"],
-        "forward_fill_events": qs["forward_fill_events"],
+        "event_window_ops": qs["event_window_ops"],
         "revenue_by_parttype": qs["revenue_by_parttype"],
         "topk_orders": qs["topk_orders"],
         "doc_stats": qs["doc_stats"],
@@ -407,13 +431,15 @@ def main() -> None:
         "simhash_near_pairs": simhash_pairs,
         "dedup_cluster": dedup_cluster,
         "pipeline_dedup_pass": pipeline_dedup_pass,
-        "ann_bruteforce": qs["ann_bruteforce"],
+        "ann_topk": qs["ann_topk"],
         "ann_multiprobe_trained": ann_trained,
         "media_derivatives": media_derivatives,
         # r5: previously-untimed surfaces (VERDICT r4 items 1/4/7)
         "pipeline_quality_pass": pipeline_quality_pass,
         # r7: the wired CCNet chain (VERDICT r6 items 1/8)
         "pipeline_scrub_pass": pipeline_scrub_pass,
+        "substr_dedup_full": substr_dedup_full,
+        "lm_ppl_full": lm_ppl_full,
         "ivfpq_topk": ivfpq_query,
         "crossrun_probe_h1": _crossrun_probe(1),
         "crossrun_probe_h2": _crossrun_probe(2),

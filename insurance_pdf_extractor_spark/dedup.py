@@ -577,3 +577,130 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                 (F.coalesce("paras_total", F.lit(0))
                  - F.coalesce("_paras_kept", F.lit(0))).cast("long")
                  .alias("paras_dropped")))
+
+
+def dedup_substrings(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 10,
+                     min_count: int = 2) -> DataFrame:
+    """Remove every k-word span that appears >= ``min_count`` times in
+    the WHOLE corpus, in place (exact-substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §4.1).
+
+    The paper removes any 50-BPE-token substring occurring twice in the
+    corpus via a suffix array — a sequential structure with no
+    distributed equivalent. The standard distributed reading (word-
+    token granularity) is: hash every k-word window, find windows whose
+    content repeats corpus-wide (including within one document), and
+    cut the UNION of their [pos, pos+k-1] word spans from each
+    document. Overlapping duplicated windows merge into maximal spans,
+    so a 400-word boilerplate block shared by two docs is removed from
+    both in one pass even though only its k-word windows were hashed —
+    the same coverage a suffix array yields for matches >= k words
+    (matches shorter than k words are below the gate by construction,
+    exactly as in the paper).
+
+    Returns one row per input document: ``(id_col, text_kept,
+    words_total, words_removed, spans_removed)``. ``text_kept`` is the
+    ORIGINAL text (byte-identical, whitespace preserved) when nothing
+    was removed, else the surviving words re-joined with single spaces
+    (word-token granularity normalizes whitespace only where the
+    operator actually edited; null text stays null). ``spans_removed``
+    counts maximal contiguous removed ranges.
+
+    Shape at scale — every step keyed and bounded, nothing quadratic:
+    1. One posexplode of the tagged k-gram windows per consumer
+       (aligned-slice ``zip_with`` over one split — see
+       :func:`shingles` for why not ``element_at``); occurrences
+       immediately project ``xxhash64(gram)`` so the k-word strings
+       never enter a shuffle.
+    2. ONE corpus-wide (gram_hash) count agg — partial map-side combine
+       absorbs hot boilerplate windows (a banner in 10^9 docs reaches
+       the reducer as one partial per map task). A per-key position
+       list (the no-join shape ``gopher_repetition_stats`` uses) is
+       NOT sound here: the key is corpus-global, so a hot window's
+       state would be unbounded.
+    3. Join occurrences back to the (one row per duplicated hash) hot
+       list. The occurrence explode therefore runs twice (agg side +
+       probe side — different subtrees, no exchange reuse); the
+       pipeline stage bounds that by staging the OUTPUT, and a window
+       count (one scan) is rejected deliberately: its per-key
+       partition puts a 10^9-occurrence banner window on one task,
+       while AQE skew-join splits the probe partitions. Unlike LSH
+       banding no frequency cap is sound — semantics require removing
+       ALL occurrences.
+    4. Covered word indices explode from ``sequence`` (k rows per dup
+       window), distinct on (doc, widx) — balanced per-doc keys.
+    5. Maximal spans via gaps-and-islands (widx − row_number per doc);
+       removal is a left-anti on (doc, widx) + bounded per-doc ordered
+       re-assembly, the same tail as :func:`dedup_paragraphs`.
+    64-bit hashing admits cross-window collisions (a false dup mark
+    removes a legitimate span): expected collisions ≈ n²/2^65, i.e.
+    ~3·10⁴ windows at the 10^12-window tier — swap in a 128-bit key
+    (two independent xxhash64 salts) there; the plan shape is
+    unchanged.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from insurance_pdf_extractor_spark.scrub import _word_ngrams
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_text"))
+    # words: 0-based widx aligned with the 0-based window positions of
+    # _word_ngrams (both index the same split of trim(_text) on \s+).
+    # Null text splits to null (posexplode drops the row); whitespace-
+    # only text would split to [""] — mask it to an empty array so the
+    # phantom empty word neither counts nor joins.
+    words_arr = F.when(F.trim(F.coalesce("_text", F.lit(""))) == "",
+                       F.array().cast("array<string>")) \
+                 .otherwise(F.split(F.trim("_text"), r"\s+"))
+    words = base.select("_id", F.posexplode(words_arr)
+                        .alias("widx", "word"))
+
+    occ = (base.select("_id",
+                       F.posexplode(_word_ngrams(F.col("_text"), k))
+                       .alias("pos", "gram"))
+           .select("_id", "pos", F.xxhash64("gram").alias("gh")))
+    dup = (occ.groupBy("gh").agg(F.count("*").alias("_c"))
+           .where(F.col("_c") >= min_count).select("gh"))
+    covered = (occ.join(dup, "gh")
+               .select("_id", F.explode(
+                   F.sequence("pos", F.col("pos") + F.lit(k - 1)))
+                   .alias("widx"))
+               .distinct())
+
+    w_ord = Window.partitionBy("_id").orderBy("widx")
+    cov_stats = (covered
+                 .withColumn("_isl",
+                             F.col("widx") - F.row_number().over(w_ord))
+                 .groupBy("_id")
+                 .agg(F.count("*").alias("_removed"),
+                      F.countDistinct("_isl").alias("_spans")))
+
+    kept = words.join(covered, ["_id", "widx"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda s: s["word"]),
+            " ").alias("_text_kept"))
+    totals = words.groupBy("_id").agg(F.count("*").alias("_total"))
+
+    return (base.join(totals, "_id", "left")
+            .join(cov_stats, "_id", "left")
+            .join(rebuilt, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.when(F.col("_text").isNull(),
+                       F.lit(None).cast("string"))
+                 .when(F.coalesce("_removed", F.lit(0)) == 0,
+                       F.col("_text"))
+                 .otherwise(F.coalesce("_text_kept", F.lit("")))
+                 .alias("text_kept"),
+                F.coalesce("_total", F.lit(0)).cast("long")
+                 .alias("words_total"),
+                F.coalesce("_removed", F.lit(0)).cast("long")
+                 .alias("words_removed"),
+                F.coalesce("_spans", F.lit(0)).cast("long")
+                 .alias("spans_removed")))

@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (LSH_BANDS, _lsh_banded, dedup_documents,
-                    dedup_paragraphs, lsh_band_overflow_from_banded,
+                    dedup_paragraphs, dedup_substrings,
+                    lsh_band_overflow_from_banded,
                     lsh_pairs_from_banded, minhash_signatures_from_docs)
 from .lineage import read_metrics, split_metrics
 from .operators.finalize import finalize
@@ -230,6 +231,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  dedup: str | None = None,
                  quality_min: float | None = None,
                  paragraph_dedup: bool = False,
+                 substring_dedup: bool = False,
+                 substring_k: int = 10,
                  repetition_filter: bool = False,
                  scrub: bool = False) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
@@ -306,6 +309,15 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
        list from the REMAINING delta, so a re-offered doc is judged
        against its own run's corpus, never double-scrubbed (its
        committed copy is skipped by the resume anti-join).
+    1b. ``substring_dedup`` — corpus-wide exact duplicated-substring
+       removal (:func:`dedup.dedup_substrings`, Lee et al. 2022):
+       every ``substring_k``-word span occurring twice in the run's
+       corpus is cut from all its hosts and the docs table gains
+       ``substr_words_removed`` / ``substr_spans_removed``. Runs AFTER
+       paragraph dedup (line-exact boilerplate is cheaper to kill at
+       line granularity) and BEFORE the repetition gate and minhash —
+       same DELTA scope and same immutable-history rationale as
+       paragraph_dedup.
     2. ``repetition_filter`` — the Gopher §A1.1 repetition gate
        (:func:`scrub.gopher_repetition_keepers`): drops docs whose
        duplicate-line / top-n-gram / duplicated-n-gram fractions
@@ -333,6 +345,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     if quality_min is not None and not 0.0 <= quality_min <= 1.0:
         raise ValueError(f"quality_min {quality_min!r} outside [0, 1] — "
                          "completeness_score is a 0..1 score")
+    if substring_k < 2:
+        raise ValueError(f"substring_k must be >= 2, got {substring_k}")
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.monotonic()
     metrics_path = os.path.join(output_dir, "metrics") if output_dir else None
@@ -452,6 +466,38 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                 "doc_count long, bytes long, fail_count long, "
                 "wall_ms long, attempt int"
             ).coalesce(1).write.mode("append").parquet(metrics_path)
+        substr_info = None
+        ss_staging_path = None
+        if substring_dedup:
+            t_ss = time.monotonic()
+            ss_res = dedup_substrings(
+                textv.select(F.col("url").alias("doc_id"), "text"),
+                k=substring_k)
+            # staged like paragraph dedup: the corpus-wide dup-window
+            # agg feeds every downstream consumer once
+            ss_staging_path = os.path.join(output_dir, "_staging",
+                                           run_id + "_substr")
+            ss_res.write.mode("overwrite").parquet(ss_staging_path)
+            ss_res = spark.read.parquet(ss_staging_path).select(
+                F.col("doc_id").alias("url"),
+                F.col("text_kept").alias("text"),
+                F.col("words_removed").alias("substr_words_removed"),
+                F.col("spans_removed").alias("substr_spans_removed"))
+            textv = ss_res.select("url", "text")
+            substr_info = ss_res.select("url", "substr_words_removed",
+                                        "substr_spans_removed")
+            st = ss_res.agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("substr_words_removed") > 0, 1))
+                .alias("touched")).first()
+            spark.createDataFrame(
+                [(run_id, "substrdedup", -1, int(st["n"]), 0,
+                  int(st["touched"]),
+                  int((time.monotonic() - t_ss) * 1000), 0)],
+                "run_id string, stage string, partition_id int, "
+                "doc_count long, bytes long, fail_count long, "
+                "wall_ms long, attempt int"
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
         if repetition_filter:
             t_rg = time.monotonic()
             n_in = (docs_delta if docs_delta is not None
@@ -491,12 +537,14 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                 "doc_count long, bytes long, fail_count long, "
                 "wall_ms long, attempt int"
             ).coalesce(1).write.mode("append").parquet(metrics_path)
-        if paragraph_dedup or scrub:
+        if paragraph_dedup or substring_dedup or scrub:
             # one text-rewrite join into the docs view (equal url sets
             # by construction — both sides passed the same gates)
             docs = docs.drop("text").join(textv, "url")
             if para_info is not None:
                 docs = docs.join(para_info, "url", "left")
+            if substr_info is not None:
+                docs = docs.join(substr_info, "url", "left")
             if pii_info is not None:
                 docs = docs.join(pii_info, "url", "left")
         band_staging_path = None
@@ -558,7 +606,9 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             # silently drop or null the extra columns
             for col, flag, opt in (("pii_counts", scrub, "scrub"),
                                    ("paras_total", paragraph_dedup,
-                                    "paragraph_dedup")):
+                                    "paragraph_dedup"),
+                                   ("substr_words_removed",
+                                    substring_dedup, "substring_dedup")):
                 if (col in committed_docs.columns) != flag:
                     raise ValueError(
                         f"docs table at {docs_path} was written with "
@@ -621,6 +671,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             _hadoop_rm(spark, band_staging_path)
         if para_staging_path is not None:
             _hadoop_rm(spark, para_staging_path)
+        if ss_staging_path is not None:
+            _hadoop_rm(spark, ss_staging_path)
         metrics = read_metrics(spark, metrics_path)
         return PipelineResult(run_id, spark.read.parquet(docs_path),
                               spark.read.parquet(claims_path), metrics,

@@ -826,6 +826,59 @@ class TestTextQualityChain:
         assert n_plain < 4          # banner shingles collapse the docs
         assert n_chained == 4       # stripped first → all survive
 
+    def test_substrdedup_rewrites_and_logs(self, spark, tmp_path):
+        """r7: exact duplicated-substring removal (Lee et al. 2022) as
+        a pipeline stage — a >=k-word block shared by two docs is cut
+        from BOTH, audited per doc, lineage-tracked."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        block = ("standard policy exclusion wording repeated verbatim "
+                 "across every carrier template in the portfolio today")
+        web = self._text_pages(spark, [
+            ("https://ss.test/a",
+             f"First unique claim narrative. {block} Trailing facts."),
+            ("https://ss.test/b",
+             f"Second distinct story here. {block} Other ending."),
+            ("https://ss.test/c",
+             "Wholly original narrative with no shared template text "
+             "at all in it anywhere.")])
+        res = run_pipeline(spark, web, output_dir=str(tmp_path / "os"),
+                           run_id="ss", substring_dedup=True)
+        docs = {r["url"]: r for r in res.docs.collect()}
+        assert len(docs) == 3
+        for u in ("https://ss.test/a", "https://ss.test/b"):
+            assert "policy exclusion wording" not in docs[u]["text"]
+            assert docs[u]["substr_words_removed"] >= 14
+            assert docs[u]["substr_spans_removed"] == 1
+        a = docs["https://ss.test/a"]["text"]
+        assert "First unique claim narrative." in a
+        assert "Trailing facts." in a
+        c = docs["https://ss.test/c"]
+        assert c["substr_words_removed"] == 0
+        assert "original narrative" in c["text"]
+        m = {x["stage"]: x for x in res.metrics.collect()}
+        assert m["substrdedup"]["doc_count"] == 3
+        assert m["substrdedup"]["fail_count"] == 2   # docs touched
+
+    def test_substrdedup_schema_guard_and_validation(self, spark,
+                                                     tmp_path):
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        web = self._text_pages(spark, [
+            ("https://sg.test/1", "some narrative text one here"),
+            ("https://sg.test/2", "other narrative text two there")])
+        out = str(tmp_path / "og")
+        # bad k fails BEFORE any write — no partial run state
+        with pytest.raises(ValueError, match="substring_k"):
+            run_pipeline(spark, web, output_dir=out, run_id="sv",
+                         substring_dedup=True, substring_k=1)
+        import os
+        assert not os.path.exists(os.path.join(out, "docs"))
+        run_pipeline(spark, web, output_dir=out, run_id="s1",
+                     substring_dedup=True)
+        more = self._text_pages(spark,
+                                [("https://sg.test/3", "third text")])
+        with pytest.raises(ValueError, match="substring_dedup"):
+            run_pipeline(spark, more, output_dir=out, run_id="s2")
+
     def test_repetition_filter_drops_and_logs(self, spark, tmp_path):
         from insurance_pdf_extractor_spark.pipeline import run_pipeline
         spam = " ".join(["buy cheap pills online now today"] * 30)
@@ -915,7 +968,8 @@ class TestTextQualityChain:
         from insurance_pdf_extractor_spark.pipeline import run_pipeline
         res = run_pipeline(spark, web_pages.limit(6),
                            output_dir=str(tmp_path / "o6"), run_id="d1")
-        for col in ("pii_counts", "paras_total", "paras_dropped"):
+        for col in ("pii_counts", "paras_total", "paras_dropped",
+                    "substr_words_removed", "substr_spans_removed"):
             assert col not in res.docs.columns
         stages = {r["stage"] for r in res.metrics.collect()}
         assert not stages & {"scrub", "paradedup", "repetition"}

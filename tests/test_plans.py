@@ -78,7 +78,7 @@ class TestCodegen:
         qs = E.queries()
         for name in ("pricing_summary", "field_normalize", "doc_stats",
                      "claim_discovery", "text_line_ops",
-                     "ann_bruteforce", "best_record_per_group"):
+                     "ann_topk", "best_record_per_group"):
             plan = _plan(qs[name](spark, SF))
             assert "EvalPython" not in plan, f"python udf leaked into {name}"
 
