@@ -1593,6 +1593,42 @@ def q_lm_perplexity(spark, sf):
                                 "nll"), "doc_id"))
 
 
+def q_doc_signals(spark, sf):
+    """lang-ID confusion counts + exact/winnowing fingerprints, merged
+    kind-tagged (r7 registry rotation to free a slot for
+    `decontaminate`; both operators stay individually graded).
+    kind='langid': key = true lang, s1 = guessed lang, n = doc count.
+    kind='fp': key = doc_id, s1 = normalized-md5 fingerprint,
+    n = winnowing fingerprint count."""
+    lang = q_lang_id(spark, sf).select(
+        F.lit("langid").alias("kind"), F.col("lang").alias("key"),
+        F.col("lang_guess").alias("s1"), F.col("n").cast("long").alias("n"))
+    fp = q_fingerprint(spark, sf).select(
+        F.lit("fp").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("fingerprint").alias("s1"),
+        F.col("n_winnow").cast("long").alias("n"))
+    return lang.unionByName(fp)
+
+
+_DECON_N = 13
+
+
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination (Brown et al. 2020 App. C 13-gram rule
+    — :func:`scrub.ngram_overlap_stats`): per training doc, the count/
+    fraction of its 13-gram windows found anywhere in the reference
+    corpus. Reference = every 50th doc of the slice (planted verbatim
+    contamination: those docs self-overlap ~100%, plus any doc sharing
+    a template window with them), broadcast as distinct window hashes
+    so the training side never shuffles before the per-doc agg."""
+    from insurance_pdf_extractor_spark.scrub import ngram_overlap_stats
+    docs = (_t(spark, sf, "documents").where(F.col("doc_id") < 200)
+            .select("doc_id", "text"))
+    ref = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return ngram_overlap_stats(docs, ref, n=_DECON_N)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXACTLY 50 entries, flagship first: the driver's correctness gate
     # grades the first 50 in dict order (r2 verdict item 1)
@@ -1633,8 +1669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents: text analysis / quality / lang-id / fingerprints
         "doc_stats": q_doc_stats,
         "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
+        # langid + fingerprints merged kind-tagged (r7 rotation — freed
+        # a slot for decontaminate)
+        "doc_signals": q_doc_signals,
         "dedup_exact": q_dedup_exact,
         # dedup: minhash / lsh / jaccard / simhash
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1664,8 +1701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize_events": q_sessionize_events,
         # r7: exact-substring dedup (Lee et al.) + CCNet LM perplexity
+        # + eval-set decontamination (GPT-3 13-gram rule)
         "substring_dedup": q_substring_dedup,
         "lm_perplexity": q_lm_perplexity,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2765,7 +2804,7 @@ def oracle_sql() -> dict[str, str]:
                                THEN 0.2 ELSE 0.0 END), 2) as double)
                        AS quality_score
             FROM w""",
-        "lang_id": """
+        "doc_signals": """
             WITH h AS (
               SELECT lang,
                      len(string_split(' ' || text || ' ', ' the ')) - 1 AS en,
@@ -2773,27 +2812,58 @@ def oracle_sql() -> dict[str, str]:
                      len(string_split(' ' || text || ' ', ' der ')) - 1 AS de,
                      len(string_split(' ' || text || ' ', ' le '))  - 1 AS fr
               FROM documents)
-            SELECT lang,
+            SELECT 'langid' AS kind, lang AS key,
                    CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr
                             THEN 'en'
                         WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
                         WHEN de > 0 AND de >= fr THEN 'de'
                         WHEN fr > 0 THEN 'fr'
-                        ELSE 'unknown' END AS lang_guess,
+                        ELSE 'unknown' END AS s1,
                    count(*) AS n
-            FROM h GROUP BY 1, 2""",
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
-                       AS fingerprint,
+            FROM h GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 'fp', CAST(doc_id AS VARCHAR),
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
                    CAST(CASE WHEN length(text) >= 11 THEN
                        len(list_distinct([
                            list_min([md5(substr(text, i + j, 8))
                                      FOR j IN range(0, 4)])
                            FOR i IN range(1, length(text) - 8 + 1 - 4 + 2)
                        ]))
-                   ELSE 0 END AS INT) AS n_winnow
+                   ELSE 0 END AS BIGINT)
             FROM documents WHERE doc_id < 100""",
+        "decontaminate": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(
+                              trim(lower(coalesce(text, ''))), '\\s+')
+                     END AS words
+              FROM documents WHERE doc_id < 200
+            ), grams AS (
+              SELECT doc_id,
+                     unnest([array_to_string(words[i:i+{_DECON_N - 1}],
+                                             ' ')
+                             FOR i IN range(1, len(words) - {_DECON_N}
+                                            + 2)]) AS gram
+              FROM docs WHERE len(words) >= {_DECON_N}
+            ), ref AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+            ), per AS (
+              SELECT g.doc_id, count(*) AS t,
+                     count(CASE WHEN r.gram IS NOT NULL THEN 1 END) AS o
+              FROM grams g LEFT JOIN ref r USING (gram)
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.t, 0) AS ngrams_total,
+                   coalesce(per.o, 0) AS ngrams_overlapping,
+                   CASE WHEN coalesce(per.t, 0) > 0
+                        THEN round(per.o / per.t, 4)
+                        ELSE 0.0 END AS overlap_frac,
+                   coalesce(per.o, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM docs) d LEFT JOIN per USING (doc_id)""",
         "dedup_exact": """
             WITH fp AS (
               SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))

@@ -298,6 +298,19 @@ def main() -> None:
         model = unigram_fit(docs, vocab_size=65536)
         return ppl_buckets(unigram_doc_scores(docs, model))
 
+    def decontaminate_full(spark, sf_dir):
+        """r7: eval-set decontamination over the FULL sf documents
+        table (ref = every 50th doc's text, broadcast as distinct
+        13-gram hashes — the training side's only exchange is the
+        per-doc agg)."""
+        from insurance_pdf_extractor_spark.scrub import (
+            ngram_overlap_stats)
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")) \
+            .select("doc_id", "text")
+        ref = docs.where(F.col("doc_id") % 50 == 0).select("text")
+        return ngram_overlap_stats(docs, ref, n=13)
+
     # IVF-PQ: build staged once (the index is a persisted artifact by
     # design); the timed entry is the QUERY phase over stored codes
     from insurance_pdf_extractor_spark import ann as _ann_mod
@@ -440,6 +453,7 @@ def main() -> None:
         "pipeline_scrub_pass": pipeline_scrub_pass,
         "substr_dedup_full": substr_dedup_full,
         "lm_ppl_full": lm_ppl_full,
+        "decontaminate_full": decontaminate_full,
         "ivfpq_topk": ivfpq_query,
         "crossrun_probe_h1": _crossrun_probe(1),
         "crossrun_probe_h2": _crossrun_probe(2),

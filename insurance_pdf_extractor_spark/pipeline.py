@@ -53,7 +53,8 @@ from .lineage import read_metrics, split_metrics
 from .operators.finalize import finalize
 from .operators.fused import tokenize_and_extract
 from .operators.sniff import sniff
-from .scrub import gopher_repetition_keepers, scrub_pii
+from .scrub import (decontaminate_keepers, gopher_repetition_keepers,
+                    scrub_pii)
 
 
 @dataclass
@@ -234,6 +235,8 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
                  substring_dedup: bool = False,
                  substring_k: int = 10,
                  repetition_filter: bool = False,
+                 decontaminate_ref: DataFrame | None = None,
+                 decontaminate_ngram: int = 13,
                  scrub: bool = False) -> PipelineResult:
     """Run the 5-stage extraction over a web_pages DataFrame.
 
@@ -325,6 +328,16 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
        (a nav banner must not fail an otherwise-clean page). Dropped
        docs (and their claims) are not committed — resume re-extracts
        and re-drops them, like ``quality_min``.
+    2b. ``decontaminate_ref`` — eval-set decontamination
+       (:func:`scrub.decontaminate_keepers`, the GPT-3 13-gram rule):
+       pass a DataFrame with a ``text`` column holding the benchmark /
+       eval corpus; any doc sharing >= 1 ``decontaminate_ngram``-word
+       window with it is dropped (with its claims), lineage stage
+       'decontam'. The reference side broadcasts as distinct window
+       hashes, so eval sets of ordinary size cost the extraction
+       pipeline no extra shuffle. Like the repetition gate, dropped
+       docs are never committed — resume re-extracts and re-drops.
+       Schema-neutral (drops rows, adds no columns), so no flag guard.
     3. ``scrub`` — typed PII redaction (:func:`scrub.scrub_pii`):
        ``text`` is rewritten with the redaction tokens and the docs
        table gains the ``pii_counts`` audit map. Deterministic per
@@ -513,6 +526,26 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             spark.createDataFrame(
                 [(run_id, "repetition", -1, n_keep, 0, n_in - n_keep,
                   int((time.monotonic() - t_rg) * 1000), 0)],
+                "run_id string, stage string, partition_id int, "
+                "doc_count long, bytes long, fail_count long, "
+                "wall_ms long, attempt int"
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
+        if decontaminate_ref is not None:
+            t_dc = time.monotonic()
+            n_in = (docs_delta if docs_delta is not None
+                    else fields.count())
+            kept = decontaminate_keepers(
+                textv.select(F.col("url").alias("doc_id"), "text"),
+                decontaminate_ref, n=decontaminate_ngram
+            ).select(F.col("doc_id").alias("url")).localCheckpoint()
+            n_keep = kept.count()
+            docs = docs.join(kept, "url", "left_semi")
+            claims = claims.join(kept, "url", "left_semi")
+            textv = textv.join(kept, "url", "left_semi")
+            docs_delta = n_keep
+            spark.createDataFrame(
+                [(run_id, "decontam", -1, n_keep, 0, n_in - n_keep,
+                  int((time.monotonic() - t_dc) * 1000), 0)],
                 "run_id string, stage string, partition_id int, "
                 "doc_count long, bytes long, fail_count long, "
                 "wall_ms long, attempt int"
@@ -709,9 +742,30 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             "paras_total", "paras_dropped")
         textv = pd_res.select("url", "text")
         para_info = pd_res.select("url", "paras_total", "paras_dropped")
+    substr_info = None
+    if substring_dedup:
+        ss_res = dedup_substrings(
+            textv.select(F.col("url").alias("doc_id"), "text"),
+            k=substring_k
+        ).localCheckpoint().select(
+            F.col("doc_id").alias("url"),
+            F.col("text_kept").alias("text"),
+            F.col("words_removed").alias("substr_words_removed"),
+            F.col("spans_removed").alias("substr_spans_removed"))
+        textv = ss_res.select("url", "text")
+        substr_info = ss_res.select("url", "substr_words_removed",
+                                    "substr_spans_removed")
     if repetition_filter:
         kept = gopher_repetition_keepers(
             textv.select(F.col("url").alias("doc_id"), "text")
+        ).select(F.col("doc_id").alias("url")).localCheckpoint()
+        docs = docs.join(kept, "url", "left_semi")
+        claims = claims.join(kept, "url", "left_semi")
+        textv = textv.join(kept, "url", "left_semi")
+    if decontaminate_ref is not None:
+        kept = decontaminate_keepers(
+            textv.select(F.col("url").alias("doc_id"), "text"),
+            decontaminate_ref, n=decontaminate_ngram
         ).select(F.col("doc_id").alias("url")).localCheckpoint()
         docs = docs.join(kept, "url", "left_semi")
         claims = claims.join(kept, "url", "left_semi")
@@ -721,10 +775,12 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         sc = scrub_pii(textv)
         textv = sc.select("url", F.col("text_scrubbed").alias("text"))
         pii_info = sc.select("url", "pii_counts")
-    if paragraph_dedup or scrub:
+    if paragraph_dedup or substring_dedup or scrub:
         docs = docs.drop("text").join(textv, "url")
         if para_info is not None:
             docs = docs.join(para_info, "url", "left")
+        if substr_info is not None:
+            docs = docs.join(substr_info, "url", "left")
         if pii_info is not None:
             docs = docs.join(pii_info, "url", "left")
     if dedup is not None:

@@ -361,3 +361,91 @@ def gopher_repetition_keepers(df: DataFrame, id_col: str = "doc_id",
             c = c | (F.coalesce(F.col(f"_cnt_{n}"), F.lit(0)) < 2)
         cond = c if cond is None else cond & c
     return joined.where(cond).select(id_col)
+
+
+def ngram_overlap_stats(docs: DataFrame, ref: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        ref_text_col: str = "text", n: int = 13,
+                        broadcast_ref: bool = True) -> DataFrame:
+    """Eval-set decontamination signal (Brown et al. 2020 Appendix C,
+    the GPT-3 13-gram rule; Lee et al. 2022 §6.2): per training
+    document, how many of its n-gram windows appear ANYWHERE in the
+    reference (benchmark / eval) corpus. Returns one row per input doc:
+    ``(id_col, ngrams_total, ngrams_overlapping, overlap_frac,
+    contaminated)`` — ``contaminated`` is the GPT-3 any-overlap
+    verdict; thresholded consumers use ``overlap_frac``.
+
+    Tokenization is the engine's standard lower + trim + ``\\s+``
+    split (the same normalization lm.py scores under), so a benchmark
+    answer re-cased or re-wrapped in the training text still matches.
+    Documents with fewer than n words have 0 windows and score 0.0 /
+    not contaminated; null text behaves as empty.
+
+    Shape at scale: the REFERENCE side collapses to its distinct
+    window hashes — eval sets are thousands of documents against a
+    corpus of billions, so those hashes broadcast to every executor
+    and the training side never shuffles at all: explode → broadcast
+    left-join → one per-doc agg (the only exchange, keyed by doc id).
+    ``broadcast_ref=False`` degrades to a shuffle equi-join on the
+    window hash for reference corpora too big to broadcast — the same
+    keys and AQE-skew story as :func:`dedup.dedup_substrings`'s probe.
+    Window hashes are ``xxhash64`` (64-bit): a collision FLAGS a clean
+    doc (never unflags a contaminated one) — conservative in the
+    direction decontamination cares about.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def _norm(c: Column) -> Column:
+        return F.lower(F.trim(F.coalesce(c, F.lit(""))))
+
+    ref_h = (ref.select(F.explode(_word_ngrams(_norm(F.col(ref_text_col)),
+                                               n)).alias("gram"))
+             .select(F.xxhash64("gram").alias("gh"))
+             .distinct()
+             .withColumn("_hit", F.lit(1)))
+    if broadcast_ref:
+        ref_h = F.broadcast(ref_h)
+    occ = (docs.select(F.col(id_col).alias("_id"),
+                       F.explode_outer(_word_ngrams(_norm(F.col(text_col)),
+                                                    n)).alias("gram"))
+           # xxhash64(NULL) is NOT null (it hashes the seed) — guard so
+           # a <n-word doc's placeholder row can never match the ref
+           .select("_id", "gram",
+                   F.when(F.col("gram").isNotNull(),
+                          F.xxhash64("gram")).alias("gh")))
+    per = (occ.join(ref_h, "gh", "left")
+           .groupBy("_id")
+           .agg(F.count("gram").alias("ngrams_total"),
+                F.count(F.when(F.col("_hit") == 1, 1))
+                .alias("ngrams_overlapping")))
+    frac = (F.when(F.col("ngrams_total") > 0,
+                   F.round(F.col("ngrams_overlapping")
+                           / F.col("ngrams_total"), 4))
+            .otherwise(F.lit(0.0)))
+    return per.select(F.col("_id").alias(id_col),
+                      F.col("ngrams_total").cast("long")
+                      .alias("ngrams_total"),
+                      F.col("ngrams_overlapping").cast("long")
+                      .alias("ngrams_overlapping"),
+                      frac.alias("overlap_frac"),
+                      (F.col("ngrams_overlapping") > 0)
+                      .alias("contaminated"))
+
+
+def decontaminate_keepers(docs: DataFrame, ref: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          ref_text_col: str = "text", n: int = 13,
+                          max_overlapping: int = 0,
+                          broadcast_ref: bool = True) -> DataFrame:
+    """Ids of documents that SURVIVE decontamination: at most
+    ``max_overlapping`` reference n-gram windows (default 0 — the
+    GPT-3 rule: any eval overlap drops the training doc). The filter
+    form of :func:`ngram_overlap_stats`, for pipeline use."""
+    stats = ngram_overlap_stats(docs, ref, id_col=id_col,
+                                text_col=text_col,
+                                ref_text_col=ref_text_col, n=n,
+                                broadcast_ref=broadcast_ref)
+    return (stats.where(F.col("ngrams_overlapping") <= max_overlapping)
+            .select(id_col))

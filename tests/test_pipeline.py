@@ -899,6 +899,37 @@ class TestTextQualityChain:
         claim_urls = {r["url"] for r in res.claims.collect()}
         assert "https://r.test/spam" not in claim_urls
 
+    def test_decontaminate_drops_and_logs(self, spark, tmp_path):
+        """r7: eval-set decontamination gate — a doc sharing a 13-gram
+        window with the reference corpus is dropped with its claims;
+        lineage stage 'decontam'."""
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        leak = ("the quick brown fox jumps over the lazy dog near "
+                "the riverbank today")
+        web = self._text_pages(spark, [
+            ("https://dc.test/leaky",
+             f"Narrative quoting the benchmark: {leak} verbatim."),
+            ("https://dc.test/clean",
+             "An original account of the water damage with no "
+             "benchmark overlap anywhere in its text at all.")])
+        ref = spark.createDataFrame(
+            [(f"Q: {leak} — answer below",)], "text string")
+        res = run_pipeline(spark, web, output_dir=str(tmp_path / "od"),
+                           run_id="dc", decontaminate_ref=ref)
+        urls = {r["url"] for r in res.docs.select("url").collect()}
+        assert urls == {"https://dc.test/clean"}
+        claim_urls = {r["url"] for r in res.claims.collect()}
+        assert "https://dc.test/leaky" not in claim_urls
+        m = {x["stage"]: x for x in res.metrics.collect()}
+        assert m["decontam"]["doc_count"] == 1
+        assert m["decontam"]["fail_count"] == 1
+        # the no-output path honours the gate identically
+        r2 = run_pipeline(spark, web, output_dir=None, resume=False,
+                          decontaminate_ref=ref)
+        assert {r["url"] for r in r2.docs.select("url").collect()} == \
+            {"https://dc.test/clean"}
+        r2.unpersist()
+
     def test_scrub_rewrites_and_audits(self, spark, tmp_path):
         from insurance_pdf_extractor_spark.pipeline import run_pipeline
         web = self._text_pages(spark, [

@@ -259,3 +259,78 @@ class TestGopherRepetitionStats:
         assert len(gram_explodes) == 1, logical
         # and no stray per-n gram explode outside the concat
         assert "Generate explode(zip_with" not in logical
+
+
+class TestDecontamination:
+    """Eval-set decontamination (scrub.ngram_overlap_stats /
+    decontaminate_keepers — Brown et al. 2020 App. C 13-gram rule)."""
+
+    EVAL = ("what is the capital of france the answer is paris "
+            "of course")
+
+    @pytest.fixture(scope="class")
+    def decon(self, spark):
+        from insurance_pdf_extractor_spark.scrub import (
+            ngram_overlap_stats)
+        docs = spark.createDataFrame([
+            (1, f"Training text contains {self.EVAL} verbatim leak."),
+            (2, "Totally clean training document with original "
+                "content and nothing shared with any benchmark."),
+            (3, "short doc"),
+            (4, None),
+            (5, "What IS the Capital of France the ANSWER is Paris "
+                "of course wrapped differently."),
+        ], "doc_id int, text string")
+        ref = spark.createDataFrame(
+            [(self.EVAL,),
+             ("another eval question entirely unrelated to anything "
+              "in the training set at all",)], "text string")
+        out = ngram_overlap_stats(docs, ref, n=11)
+        return docs, ref, out, {r["doc_id"]: r for r in out.collect()}
+
+    def test_verbatim_leak_flagged(self, decon):
+        _, _, _, by = decon
+        assert by[1]["contaminated"] is True
+        assert by[1]["ngrams_overlapping"] == 2   # 11-gram windows hit
+        assert by[1]["ngrams_total"] == 7         # 17 words
+        assert by[1]["overlap_frac"] == 0.2857
+
+    def test_case_and_wrap_insensitive(self, decon):
+        # the leak re-cased and embedded in a different sentence still
+        # matches (lower+\s+ normalization on both sides)
+        _, _, _, by = decon
+        assert by[5]["contaminated"] is True
+        assert by[5]["overlap_frac"] == 0.5
+
+    def test_clean_short_null_untouched(self, decon):
+        _, _, _, by = decon
+        for d in (2, 3, 4):
+            assert by[d]["contaminated"] is False
+            assert by[d]["ngrams_overlapping"] == 0
+            assert by[d]["overlap_frac"] == 0.0
+        assert by[3]["ngrams_total"] == 0       # < n words
+        assert by[4]["ngrams_total"] == 0       # null text
+
+    def test_keepers_default_any_overlap_drops(self, decon):
+        from insurance_pdf_extractor_spark.scrub import (
+            decontaminate_keepers)
+        docs, ref, _, _ = decon
+        kept = {r["doc_id"]
+                for r in decontaminate_keepers(docs, ref, n=11)
+                .collect()}
+        assert kept == {2, 3, 4}
+
+    def test_plan_broadcast_ref_and_udf_free(self, decon):
+        # the ref side must broadcast (training side never shuffles
+        # before the per-doc agg) and nothing drops to Python
+        _, _, out, _ = decon
+        plan = _plan(out)
+        assert not any(m in plan for m in _PY_MARKERS), plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_n_validation(self, decon):
+        from insurance_pdf_extractor_spark.scrub import (
+            ngram_overlap_stats)
+        docs, ref, _, _ = decon
+        with pytest.raises(ValueError):
+            ngram_overlap_stats(docs, ref, n=0)
