@@ -544,6 +544,45 @@ def main() -> None:
 
     dedup_stages = dedup_pass_stages()
 
+    # pipeline_scrub_pass decomposition (r7): the CCNet chain's cost by
+    # stage, same barrier protocol as dedup_pass_stages — plus the
+    # substring-dedup stage (not part of the benched fused pass, so the
+    # full r7 chain's per-stage cost is still a recorded number).
+    def scrub_pass_stages() -> dict[str, float]:
+        from insurance_pdf_extractor_spark.dedup import (
+            dedup_paragraphs, dedup_substrings)
+        from insurance_pdf_extractor_spark.scrub import (
+            gopher_repetition_keepers, scrub_pii)
+        spark.catalog.clearCache()
+        sub: dict[str, float] = {}
+        web = spark.read.parquet(fixture_path)
+        t0 = time.monotonic()
+        res = run_pipeline(spark, web, output_dir=None, resume=False)
+        textv = (res.cached.select(F.col("url").alias("doc_id"), "text")
+                 .localCheckpoint())
+        sub["extract_checkpoint"] = round(time.monotonic() - t0, 3)
+        res.unpersist()
+        t0 = time.monotonic()
+        textv = (dedup_paragraphs(textv)
+                 .select("doc_id", F.col("text_kept").alias("text"))
+                 .localCheckpoint())
+        sub["paragraph_dedup"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        textv = (dedup_substrings(textv)
+                 .select("doc_id", F.col("text_kept").alias("text"))
+                 .localCheckpoint())
+        sub["substring_dedup"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        textv = textv.join(gopher_repetition_keepers(textv),
+                           "doc_id", "left_semi").localCheckpoint()
+        sub["repetition_gate"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        scrub_pii(textv).select("doc_id", "pii_counts").count()
+        sub["pii_scrub"] = round(time.monotonic() - t0, 3)
+        return sub
+
+    scrub_stages = scrub_pass_stages()
+
     total = round(sum(timings.values()), 3)
     try:
         with open("/proc/loadavg") as f:
@@ -574,6 +613,9 @@ def main() -> None:
         # pipeline_dedup_pass stage decomposition (VERDICT r5 item 3):
         # stage sums exceed the fused pass (barriers); ratios attribute
         "pipeline_dedup_pass_stages": dedup_stages,
+        # pipeline_scrub_pass stage decomposition (r7), + the substring
+        # stage so the FULL chain's marginal costs are attributed
+        "pipeline_scrub_pass_stages": scrub_stages,
     }
     print(json.dumps(out))
     # persist the FULL record next to the stdout line (VERDICT r6: the
