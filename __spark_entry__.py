@@ -72,17 +72,19 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     Runs the FULL CCNet-style chain end-to-end (r7): extract →
-    paragraph dedup → Gopher repetition gate → PII scrub → MinHash-LSH
-    near-dup dedup — every opt-in stage of run_pipeline exercised in
-    one flagship invocation."""
+    paragraph dedup → exact-substring dedup → Gopher repetition gate →
+    PII scrub → MinHash-LSH near-dup dedup — every text-quality stage
+    of run_pipeline exercised in one flagship invocation
+    (decontaminate_ref is exercised by tests/bench instead: a flagship
+    ref corpus would be a modeling choice, not a smoke check)."""
     web = _web_pages_from_documents(spark, "/root/testdata/sf0.001")
     # cache_intermediate=False: single-action path — a persist() here would
     # pin the fat intermediate with no unpersist hook (the driver consumes
     # the returned DataFrame)
     res = run_pipeline(spark, web, output_dir=None, resume=False,
                        cache_intermediate=False, paragraph_dedup=True,
-                       repetition_filter=True, scrub=True,
-                       dedup="minhash-lsh")
+                       substring_dedup=True, repetition_filter=True,
+                       scrub=True, dedup="minhash-lsh")
     return res.docs.select(
         "url", "doc_kind", "total_pages", "total_claims",
         F.length("text").alias("text_chars"), "validation_complete")
