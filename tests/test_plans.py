@@ -82,6 +82,21 @@ class TestCodegen:
             plan = _plan(qs[name](spark, SF))
             assert "EvalPython" not in plan, f"python udf leaked into {name}"
 
+    def test_event_window_ops_single_sort(self, spark):
+        """The r7 merge of forward-fill + lead exists BECAUSE both
+        window functions share the (user_id, ts, event_id) sort — the
+        merged plan must pay exactly one Exchange and one Sort (two
+        separate queries paid one each)."""
+        import __spark_entry__ as E
+        plan = _plan(E.queries()["event_window_ops"](spark, SF))
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("+- Sort ") + plan.count("+- *Sort ") >= 1
+        # one Window node evaluates the running frame, one the lead —
+        # but NO second exchange/sort between them
+        body = plan[plan.index("Exchange hashpartitioning"):]
+        assert "Exchange" not in body[len("Exchange"):], \
+            "second shuffle crept into the merged window pass"
+
 
 class TestPipelineShape:
     def test_exactly_one_wide_dep_before_udf(self, spark, web_pages):
