@@ -202,3 +202,96 @@ class TestUnigramLM:
         # a single-partition global sort
         docs, model, _, _ = lm_fixture
         assert "TakeOrderedAndProject" in _plan(model)
+
+
+class TestSubstrProperties:
+    """Hypothesis invariants for dedup_substrings over random corpora:
+    output words are always a subset of input words in order, counts
+    reconcile, and untouched docs are byte-identical."""
+
+    @staticmethod
+    def _corpus(seed: int, n_docs: int):
+        import random
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        shared = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 12)))
+        rows = []
+        for d in range(n_docs):
+            words = [rng.choice(vocab)
+                     for _ in range(rng.randint(0, 25))]
+            if rng.random() < 0.5:
+                pos = rng.randint(0, len(words))
+                words[pos:pos] = shared.split()
+            rows.append((d, " ".join(words)))
+        return rows
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=5, deadline=None)
+    def test_invariants(self, spark, seed):
+        from insurance_pdf_extractor_spark.dedup import dedup_substrings
+        rows = self._corpus(seed, 8)
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r
+               for r in dedup_substrings(df, k=5).collect()}
+        assert len(out) == len(rows)
+        for d, text in rows:
+            r = out[d]
+            in_words = text.split()
+            assert r["words_total"] == len(in_words)
+            assert 0 <= r["words_removed"] <= r["words_total"]
+            assert r["spans_removed"] <= r["words_removed"]
+            if r["words_removed"] == 0:
+                assert r["text_kept"] == text      # byte-identical
+            else:
+                kept = r["text_kept"].split()
+                assert len(kept) == \
+                    r["words_total"] - r["words_removed"]
+                # kept words are an order-preserving subsequence
+                it = iter(in_words)
+                assert all(w in it for w in kept)
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=3, deadline=None)
+    def test_deterministic(self, spark, seed):
+        from insurance_pdf_extractor_spark.dedup import dedup_substrings
+        df = spark.createDataFrame(self._corpus(seed, 6),
+                                   "doc_id int, text string")
+        a = sorted(map(tuple, dedup_substrings(df, k=5).collect()))
+        b = sorted(map(tuple, dedup_substrings(df, k=5).collect()))
+        assert a == b
+
+
+class TestDecontamProperties:
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=5, deadline=None)
+    def test_partition_and_bounds(self, spark, seed):
+        """keepers + contaminated partition the corpus; fractions stay
+        in [0,1]; a doc that IS a ref doc (>= n words) is always
+        contaminated."""
+        import random
+        from insurance_pdf_extractor_spark.scrub import (
+            decontaminate_keepers, ngram_overlap_stats)
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(40)]
+        rows = [(d, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 20))))
+                for d in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        ref = docs.where("doc_id = 0").select("text")
+        stats = {r["doc_id"]: r
+                 for r in ngram_overlap_stats(docs, ref, n=5).collect()}
+        kept = {r["doc_id"]
+                for r in decontaminate_keepers(docs, ref, n=5).collect()}
+        flagged = {d for d, r in stats.items() if r["contaminated"]}
+        assert kept | flagged == set(stats)
+        assert kept & flagged == set()
+        for r in stats.values():
+            assert 0.0 <= r["overlap_frac"] <= 1.0
+            assert r["ngrams_overlapping"] <= r["ngrams_total"]
+        if len(rows[0][1].split()) >= 5:
+            assert 0 in flagged
+            assert stats[0]["overlap_frac"] == 1.0
