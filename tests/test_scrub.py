@@ -334,3 +334,19 @@ class TestDecontamination:
         docs, ref, _, _ = decon
         with pytest.raises(ValueError):
             ngram_overlap_stats(docs, ref, n=0)
+
+    def test_shuffle_ref_path_matches_broadcast(self, decon):
+        """broadcast_ref=False (refs too big to broadcast) must produce
+        identical stats through the shuffle equi-join."""
+        from insurance_pdf_extractor_spark.scrub import (
+            ngram_overlap_stats)
+        docs, ref, _, by = decon
+        alt = {r["doc_id"]: r
+               for r in ngram_overlap_stats(docs, ref, n=11,
+                                            broadcast_ref=False)
+               .collect()}
+        assert set(alt) == set(by)
+        for d in by:
+            for c in ("ngrams_total", "ngrams_overlapping",
+                      "overlap_frac", "contaminated"):
+                assert alt[d][c] == by[d][c], (d, c)
