@@ -492,7 +492,9 @@ def _corpus_with_twins(spark, sf):
 from insurance_pdf_extractor_spark.dedup import (  # noqa: E402
     BAND_FREQ_CAP, LSH_BANDS, LSH_ROWS, MINHASH_PERMS, _MH_PRIME, _hex32,
     lsh_band_overflow, lsh_pairs_from_signatures,
-    minhash_signatures_from_docs, shingles as _shingles)
+    minhash_signatures_from_docs, shingles as _shingles,
+    shingles_from_words as _shingles_from_words)
+from insurance_pdf_extractor_spark.parallel import spread_input  # noqa: E402
 
 SHINGLE_DF_CAP = 20     # shingles in > cap docs are stop-phrases: drop
                         # BEFORE the join (hot-key quadratic blowup at scale)
@@ -516,8 +518,14 @@ def q_ngram_jaccard_pairs(spark, sf):
     computed on the capped shingle set so the Jaccard stays consistent."""
     corpus = _corpus_with_twins(spark, sf).where(
         (F.col("doc_id") % 1000) < 50)  # bound the pair join
-    sh = corpus.select("doc_id",
-                       F.explode(_shingles(F.col("text"), 3)).alias("sh"))
+    # guide §2.5 + split-once: spread a single-split scan across cores
+    # and materialize the split so the shingle slices don't re-split
+    # the document per argument site (see dedup.shingles_from_words)
+    corpus = spread_input(corpus, key="doc_id")
+    sh = (corpus.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+          .select("doc_id",
+                  F.explode(_shingles_from_words(F.col("_w"), 3))
+                  .alias("sh")))
     # window count (ONE shuffle on sh, exchange reused by both self-join
     # sides) instead of groupBy+join (two extra shuffles)
     sh = (sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
@@ -562,7 +570,7 @@ def simhash64_from_docs(docs: DataFrame) -> DataFrame:
     fingerprint — BIGINT would overflow at bit 63): 64 bit-votes from
     two md5s per distinct token. One definition shared by the registry
     query and the bench's full-corpus signature staging."""
-    w = docs.select(
+    w = spread_input(docs, key="doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
     w = (w.withColumn("h1", F.md5(F.col("w")))

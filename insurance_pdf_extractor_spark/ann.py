@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .parallel import spread_input
+
 
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double")
@@ -34,8 +36,11 @@ def bucket_centroids(emb: DataFrame, bucket_col: str = "label",
                      vec_col: str = "embedding") -> DataFrame:
     """(bucket, centroid array<double>): per-dimension mean via
     posexplode — one shuffle on (bucket, pos), reassembled in order."""
-    ex = emb.select(F.col(bucket_col).alias("bucket"),
-                    F.posexplode(vec_col).alias("pos", "v"))
+    # row-content spread key: hashing on the handful of bucket labels
+    # would collapse the spread onto <= n_buckets partitions
+    ex = spread_input(emb).select(
+        F.col(bucket_col).alias("bucket"),
+        F.posexplode(vec_col).alias("pos", "v"))
     dims = (ex.groupBy("bucket", "pos")
             .agg(F.avg(F.col("v").cast("double")).alias("m")))
     return (dims.groupBy("bucket")
@@ -97,8 +102,11 @@ def kmeans_train(emb: DataFrame, k: int = 8, max_iter: int = 10,
       job; the convergence probe then reads the k checkpointed rows.
       Empty clusters keep their previous centroid.
     """
-    vecs = emb.select(F.col(id_col).alias("vid"),
-                      F.col(vec_col).alias("v"))
+    # guide §2.5: the per-vector distance folds below run on the MAP
+    # side of the argmin window — a single-split scan would serialize
+    # every iteration onto one core (no-op at real scan parallelism)
+    vecs = spread_input(emb, key=id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     if train_sample is not None:
         vecs = vecs.sample(fraction=train_sample, seed=7)
     cents = _init_centroids(vecs, k).localCheckpoint()
@@ -152,6 +160,7 @@ def assign_buckets(emb: DataFrame, centroids: DataFrame,
     """All input columns + ``bucket`` = nearest trained centroid
     (broadcast argmin — the IVF coarse quantizer)."""
     out_cols = emb.columns
+    emb = spread_input(emb, key=id_col)
     return (emb.crossJoin(F.broadcast(centroids))
             .withColumn("_d", _sqdist(F.col(vec_col), F.col("centroid")))
             .withColumn("_rn", F.row_number().over(
@@ -270,6 +279,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame,
     if dim != m * sub:
         raise ValueError(f"vector dim {dim} != m*sub = {m}*{sub} of the "
                          "codebook — wrong codebook for this table")
+    emb = spread_input(emb, key=id_col)
     slices = emb.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.array(*[

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .parallel import spread_input
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding core (the signature/candidate stages the registry,
 # the pipeline's opt-in dedup stage, and tools/dedup_job.py all share)
@@ -56,19 +58,17 @@ BAND_FREQ_CAP = 200     # LSH band buckets with more members than this are
 _MH_PRIME = 4294967311  # smallest prime > 2^32
 
 
-def shingles(col, n):
-    """Distinct word n-gram array of a text column, as one native
-    expression (no UDF).
+def shingles_from_words(words, n):
+    """Distinct word n-gram array from a PRE-SPLIT word-array column.
 
-    Shape matters: ``zip_with`` over n aligned ``slice``\\ s of the split
-    array, NOT ``element_at(split(col), i)`` inside a ``transform``
-    lambda — Catalyst performs no common-subexpression elimination
-    inside higher-order-function lambdas, so the element_at form
-    re-splits the whole document once PER ELEMENT (O(words²) per doc;
-    measured 12 ms/doc → 0.3 ms/doc on ~600-word extracts). The guard
-    keeps short docs at an empty array, matching DuckDB range()'s empty
-    result."""
-    words = F.split(col, " ")
+    Callers should materialize the split in its own projection
+    (``select(F.split(col, " ").alias("_w"))``) and pass the column:
+    the n ``slice`` views + size guards below reference their input
+    ~(2n+1) times, and HOF expressions run CodegenFallback-interpreted
+    with no CSE across argument sites — inlining ``split`` here would
+    re-split the document that many times per row (r8 measurement; the
+    same class of trap as the element_at-in-transform shape this
+    replaced in r1, which re-split once per ELEMENT)."""
     sz = F.size(words)
     # n aligned views: sliced[j][i] = words[i + j], each of length
     # sz - n + 1 (slice evaluates its child once per row)
@@ -79,6 +79,14 @@ def shingles(col, n):
                          lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(sz >= n, F.array_distinct(arr)) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, n):
+    """Distinct word n-gram array of a text column, as one native
+    expression (no UDF). Prefer :func:`shingles_from_words` over a
+    materialized split column on hot paths — this convenience form
+    inlines the split into every slice/size site."""
+    return shingles_from_words(F.split(col, " "), n)
 
 
 def _hex32(h, offset):
@@ -97,9 +105,17 @@ def minhash_signatures_from_docs(docs: DataFrame,
     signature stage — the oracle query, the pipeline dedup stage, and
     tools/dedup_job.py all call it (code-review r3: a silently-diverging
     copy defeats the gate)."""
-    sh = docs.select("doc_id",
-                     F.explode(shingles(F.col("text"), shingle_n))
-                      .alias("sh"))
+    # guide §2.5: a single-file input must not serialize the per-shingle
+    # md5 work onto one scan task; no-op when the scan supplies >= cores
+    docs = spread_input(docs, key="doc_id")
+    # split once per row (a materialized Project the explode references)
+    # — shingles()' n slices + size guards would otherwise re-split the
+    # document ~5x per row, since HOF expressions are CodegenFallback
+    # and interpreted evaluation performs no CSE across argument sites
+    sh = (docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+          .select("doc_id",
+                  F.explode(shingles_from_words(F.col("_w"), shingle_n))
+                  .alias("sh")))
     h = F.md5(F.col("sh"))
     sh = sh.select("doc_id", _hex32(h, 1).alias("ha"),
                    _hex32(h, 9).alias("hb"))
@@ -539,8 +555,8 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     bytes — the plan shape is unchanged. Whitespace-only paragraphs are
     never counted as duplicates (they are formatting, not content).
     """
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.col(text_col).alias("_text"))
+    base = spread_input(df, key=id_col).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # ``sep`` is a LITERAL separator on both ends of the round trip:
     # F.split takes a Java regex, so quote it (\Q…\E, with embedded \E
     # handled the way Pattern.quote does) — otherwise a caller passing
@@ -643,10 +659,11 @@ def dedup_substrings(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"k must be >= 2, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    from insurance_pdf_extractor_spark.scrub import _word_ngrams
+    from insurance_pdf_extractor_spark.scrub import (
+        _ngram_hashes_from_words)
 
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.col(text_col).alias("_text"))
+    base = spread_input(df, key=id_col).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # words: 0-based widx aligned with the 0-based window positions of
     # _word_ngrams (both index the same split of trim(_text) on \s+).
     # Null text splits to null (posexplode drops the row); whitespace-
@@ -658,10 +675,17 @@ def dedup_substrings(df: DataFrame, id_col: str = "doc_id",
     words = base.select("_id", F.posexplode(words_arr)
                         .alias("widx", "word"))
 
-    occ = (base.select("_id",
-                       F.posexplode(_word_ngrams(F.col("_text"), k))
-                       .alias("pos", "gram"))
-           .select("_id", "pos", F.xxhash64("gram").alias("gh")))
+    # r8: k-word window hashes fold per-word hashes (k−1 long-pair
+    # xxhash64s per window — the window STRING never exists) over a
+    # once-materialized split; hash-equality semantics are unchanged
+    # (words carry no whitespace ⇒ the space-join is injective), the
+    # accepted 64-bit collision trade is the same as the string hash.
+    occ = (base.select("_id", words_arr.alias("_w"))
+           .withColumn("_wh", F.transform(
+               "_w", lambda w: F.xxhash64(w)))
+           .select("_id",
+                   F.posexplode(_ngram_hashes_from_words(F.col("_wh"), k))
+                   .alias("pos", "gh")))
     dup = (occ.groupBy("gh").agg(F.count("*").alias("_c"))
            .where(F.col("_c") >= min_count).select("gh"))
     covered = (occ.join(dup, "gh")

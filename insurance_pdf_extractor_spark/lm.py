@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallel import spread_input
+
 #: tokens = non-empty runs between whitespace of the lowercased text —
 #: the same \s+ split every other text operator uses, lowercased so
 #: "The"/"the" share a count (CCNet lowercases before KenLM too).
@@ -33,7 +35,9 @@ _TOKEN_SPLIT = r"\s+"
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, tok) one row per token occurrence; empty/null text yields
-    no rows (callers left-join totals back)."""
+    no rows (callers left-join totals back). Guide §2.5: the tokenize
+    explode must not serialize onto a single-split scan."""
+    df = spread_input(df, key=id_col)
     return (df.select(F.col(id_col).alias("_id"),
                       F.explode(F.split(F.lower(F.trim(F.coalesce(
                           F.col(text_col), F.lit("")))), _TOKEN_SPLIT))

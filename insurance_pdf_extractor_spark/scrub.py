@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .parallel import spread_input
+
 #: (name, pattern, replacement token), applied IN ORDER. Order is load-
 #: bearing: the credit-card pattern must run before the phone pattern
 #: (a 16-digit card contains phone-shaped digit runs), the SSN pattern
@@ -77,20 +79,50 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     })
 
 
-def _word_ngrams(text_col: Column, n: int) -> Column:
+def _ngrams_from_words(words: Column, n: int) -> Column:
     """Word n-gram array (NON-distinct — repetition screening needs the
-    multiset) as one native expression: n aligned ``slice`` views of a
-    single ``split``, zipped. ``element_at`` inside a ``transform``
-    lambda would re-split the document once per element (Catalyst does
-    no CSE inside HOF lambdas — see dedup.shingles)."""
-    words = F.split(F.trim(text_col), r"\s+")
+    multiset) from a PRE-SPLIT word-array column: n aligned ``slice``
+    views, zipped. ``words`` must be a materialized column reference —
+    the slices + size guards reference it ~(2n+1) times, and HOF
+    expressions run CodegenFallback-interpreted with no CSE across
+    argument sites, so an inlined ``split`` here re-splits the document
+    that many times per row (r8; same trap class as ``element_at``
+    inside a ``transform`` lambda — see dedup.shingles_from_words)."""
     sz = F.size(words)
-    arr = F.slice(words, 1, sz - (n - 1))
+    ln = F.greatest(sz - (n - 1), F.lit(0))
+    arr = F.slice(words, 1, ln)
     for j in range(1, n):
-        nxt = F.slice(words, j + 1, sz - (n - 1))
-        arr = F.zip_with(arr, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(sz >= n, arr).otherwise(
-        F.array().cast("array<string>"))
+        arr = F.zip_with(arr, F.slice(words, j + 1, ln),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return arr
+
+
+def _ngram_hashes_from_words(word_hashes: Column, n: int) -> Column:
+    """64-bit gram-hash array from a word-HASH array (``transform(words,
+    xxhash64)``): the n-gram equality key without ever materializing the
+    gram STRING — n−1 ``zip_with`` passes folding pairs of longs through
+    ``xxhash64(a, b)`` instead of n−1 passes of progressively longer
+    string concats plus a final hash over ~n·wordlen bytes. Two grams
+    are equal as strings iff their word sequences are equal (words carry
+    no whitespace, so the space-join is injective), so hash-equality
+    semantics are identical to ``xxhash64`` over the gram string modulo
+    64-bit collisions — the same accepted trade as before (r7 verdict:
+    within-doc P ≈ 1e-13). Use wherever downstream needs only gram
+    EQUALITY, never the text."""
+    sz = F.size(word_hashes)
+    ln = F.greatest(sz - (n - 1), F.lit(0))
+    arr = F.slice(word_hashes, 1, ln)
+    for j in range(1, n):
+        arr = F.zip_with(arr, F.slice(word_hashes, j + 1, ln),
+                         lambda a, b: F.xxhash64(a, b))
+    return arr
+
+
+def _word_ngrams(text_col: Column, n: int) -> Column:
+    """Word n-gram array of a TEXT column (convenience form — inlines
+    the split into every slice/size site; hot paths should materialize
+    the split and use :func:`_ngrams_from_words`)."""
+    return _ngrams_from_words(F.split(F.trim(text_col), r"\s+"), n)
 
 
 def repeated_ngram_stats(df: DataFrame, id_col: str = "doc_id",
@@ -115,10 +147,13 @@ def repeated_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     itself 100 GB, which upstream chunking forbids. Docs with fewer
     than ``n`` words return (null, 0, 0.0).
     """
-    grams = df.select(F.col(id_col).alias("_id"),
-                      F.length(text_col).alias("_len"),
-                      F.explode_outer(_word_ngrams(F.col(text_col), n))
-                      .alias("gram"))
+    grams = (spread_input(df, key=id_col)
+             .select(F.col(id_col).alias("_id"),
+                     F.length(text_col).alias("_len"),
+                     F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"))
+             .select("_id", "_len",
+                     F.explode_outer(_ngrams_from_words(F.col("_w"), n))
+                     .alias("gram")))
     counted = (grams.groupBy("_id", "_len", "gram")
                .agg(F.count("*").alias("cnt")))
     w = Window.partitionBy("_id").orderBy(
@@ -149,15 +184,127 @@ def _tagged_ngram_occurrences(base: DataFrame,
     ONE explode over one split: per-n arrays of (n, pos, gram) structs
     are concatenated before the explode, so the document text is
     scanned once however many n-gram sizes ride it. ``base`` must carry
-    (_id, _text)."""
+    (_id, _text). Retained for gram-TEXT consumers; the repetition
+    family itself rides :func:`_ngram_signal_agg` (hash-keyed, no gram
+    strings for the dup sizes)."""
+    src = base.select("_id",
+                      F.split(F.trim("_text"), r"\s+").alias("_w"))
+
     def _tagged(n: int):
         return F.transform(
-            _word_ngrams(F.col("_text"), n),
+            _ngrams_from_words(F.col("_w"), n),
             lambda g, i: F.struct(F.lit(n).alias("n"), i.alias("pos"),
                                   g.alias("gram")))
-    return (base.select("_id", F.explode(F.concat(
+    return (src.select("_id", F.explode(F.concat(
         *[_tagged(n) for n in ns])).alias("o"))
         .select("_id", "o.n", "o.pos", "o.gram"))
+
+
+def _ngram_signal_agg(base: DataFrame, dup_ns: tuple[int, ...],
+                      top_ns: tuple[int, ...]) -> DataFrame:
+    """ONE (_id, n, gh) aggregation serving the whole Gopher repetition
+    family: ``(_id, n, gh, cnt, ps, gram)`` for every n in
+    ``dup_ns ∪ top_ns``, where ``cnt`` is the gram's occurrence count in
+    the doc, ``ps`` its position list (collected only for ``dup_ns`` —
+    the coverage sizes), and ``gram`` the gram TEXT (carried only for
+    ``top_ns`` — the tiebreak/length sizes; null otherwise, so the
+    up-to-10-word strings of the dup family never exist at all).
+
+    Shape (r8 — the r7 verdict's recorded cost center): the text is
+    split ONCE per row into a materialized word array; word hashes are
+    computed once; per-n gram-hash arrays build INCREMENTALLY
+    (hash(n) = xxhash64(hash(n−1), next word-hash) — one zip_with pass
+    per n instead of n−1, and over longs instead of string concats);
+    all sizes concat into ONE tagged explode; and ONE hash aggregation
+    keyed (_id, n, gh) feeds both the dup-coverage branch and the
+    top-screen branch — when both consume the same ``_ngram_signal_agg``
+    DataFrame, the physical plans share the exchange (ReusedExchange),
+    so the explode and the shuffle run once per query. Aggregating the
+    top screens by gh while carrying ``min(gram)`` preserves the
+    lexicographic tiebreak exactly (per (doc, gh) the gram is unique
+    modulo 64-bit collisions — the r7-accepted trade, now extended from
+    the dup family to the top screens as the verdict's option (a))."""
+    all_ns = sorted(set(dup_ns) | set(top_ns))
+    if not all_ns:
+        raise ValueError("need at least one n-gram size")
+    top_set = set(top_ns)
+    dup_list = [int(n) for n in dup_ns]
+    df = base.select("_id",
+                     F.split(F.trim("_text"), r"\s+").alias("_w"))
+    df = df.withColumn("_wh", F.transform(
+        "_w", lambda w: F.xxhash64(w)))
+    prev_h, prev_g = "_wh", "_w"
+    for n in range(2, max(all_ns) + 1):
+        ln = F.greatest(F.size("_w") - (n - 1), F.lit(0))
+        df = df.withColumn(
+            f"_h{n}",
+            F.zip_with(F.slice(prev_h, 1, ln), F.slice("_wh", n, ln),
+                       lambda a, b: F.xxhash64(a, b)))
+        prev_h = f"_h{n}"
+        if any(m >= n for m in top_set):
+            df = df.withColumn(
+                f"_g{n}",
+                F.zip_with(F.slice(prev_g, 1, ln), F.slice("_w", n, ln),
+                           lambda a, b: F.concat(a, F.lit(" "), b)))
+            prev_g = f"_g{n}"
+
+    def _tagged(n: int):
+        if n in top_set:
+            return F.transform(
+                F.arrays_zip(f"_h{n}", f"_g{n}"),
+                lambda s, i: F.struct(
+                    F.lit(n).alias("n"), i.alias("pos"),
+                    s[f"_h{n}"].alias("gh"), s[f"_g{n}"].alias("gram")))
+        return F.transform(
+            F.col(f"_h{n}"),
+            lambda h, i: F.struct(
+                F.lit(n).alias("n"), i.alias("pos"), h.alias("gh"),
+                F.lit(None).cast("string").alias("gram")))
+
+    occ = (df.select("_id", F.explode(F.concat(
+               *[_tagged(n) for n in all_ns])).alias("o"))
+           .select("_id", "o.n", "o.pos", "o.gh", "o.gram"))
+    pos_if_dup = (F.when(F.col("n").isin(dup_list), F.col("pos"))
+                  if top_set else F.col("pos"))
+    return (occ.groupBy("_id", "n", "gh")
+            .agg(F.count("*").alias("cnt"),
+                 F.collect_list(pos_if_dup).alias("ps"),
+                 F.min("gram").alias("gram")))
+
+
+def _dup_coverage_fracs(agg: DataFrame, base: DataFrame,
+                        dup_ns: tuple[int, ...]) -> DataFrame:
+    """Per-doc duplicated-n-gram char-coverage fractions from the
+    shared :func:`_ngram_signal_agg` result: one row per ``_id`` with a
+    ``dup_ngram_char_frac_NN`` column per n. Covered word indices and
+    their char sum are array EXPRESSIONS over a per-doc word-length
+    array — no (doc, widx) explode, no posexplode'd words join (r8; the
+    r7 shape shuffled one row per covered word index and joined a
+    full (doc, widx, word) table)."""
+    dup_list = [int(n) for n in dup_ns]
+    per_doc_n = (agg.where(F.col("n").isin(dup_list)
+                           & (F.col("cnt") >= 2))
+                 .groupBy("_id", "n")
+                 .agg(F.flatten(F.collect_list("ps")).alias("poss")))
+    doclens = base.select(
+        "_id",
+        F.transform(F.split(F.trim("_text"), r"\s+"),
+                    lambda w: F.length(w)).alias("_wlens"))
+    cov_idx = F.array_distinct(F.flatten(F.transform(
+        "poss", lambda p: F.sequence(p, p + F.col("n") - 1))))
+    cov = (per_doc_n.join(doclens, "_id")
+           .select("_id", "n",
+                   F.aggregate(cov_idx, F.lit(0).cast("long"),
+                               lambda acc, i: acc + F.element_at(
+                                   "_wlens", i + 1)).alias("_cov"),
+                   F.aggregate("_wlens", F.lit(0).cast("long"),
+                               lambda acc, x: acc + x).alias("_wchars")))
+    return (cov.groupBy("_id")
+            .agg(*[F.max(F.when(F.col("n") == n,
+                                F.round(F.col("_cov") / F.col("_wchars"),
+                                        4)))
+                   .alias(f"dup_ngram_char_frac_{n:02d}")
+                   for n in dup_ns]))
 
 
 def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
@@ -193,28 +340,25 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
     Shape at scale (everything UDF-free, asserted in tests):
     - lines: one (doc, line) hash agg + one per-doc agg — partial
       map-side combine absorbs hot boilerplate lines.
-    - n-grams: ONE explode emits (doc, n, pos, gram) for every n in one
-      pass over one ``split`` (per-n arrays of structs concatenated
-      before the explode — the document text is scanned once, not six
-      times). The dup-detect stage never needs the gram TEXT
-      downstream (coverage is over word indices), so occurrences
-      immediately project ``xxhash64(gram)`` — the up-to-10-word gram
-      strings never enter a shuffle (~6× fewer shuffle bytes at
-      n=5..10), and a within-doc 64-bit collision (~10³ grams/doc →
-      P ≈ 1e-13) is the accepted trade. Duplicated-gram positions come
-      from ONE ``collect_list(pos)`` aggregation keyed
-      (doc, n, gram_hash) filtered to ``size ≥ 2`` — a single shuffle
-      of the occurrence table with no sort (a window count would sort
-      it) and no join-back (which would scan the text a second time;
-      per-group arrays are bounded by one document's occurrences of
-      one gram). Covered word indices explode from ``sequence`` and
-      join the (doc, widx, word) table, both sides keyed (doc, widx).
-      Shuffle keys are (doc, n, gram_hash) / (doc, widx) — balanced
-      unless one document is itself executor-sized, which upstream
-      chunking forbids.
+    - n-grams (r8 shape): the text splits ONCE into a materialized word
+      array; per-n gram HASHES build incrementally from word hashes
+      (one zip_with pass per n, longs only — the up-to-10-word gram
+      strings never exist, let alone shuffle; a within-doc 64-bit
+      collision, P ≈ 1e-13 at ~10³ grams/doc, is the accepted trade);
+      ONE explode emits (doc, n, pos, gh) for every n; ONE
+      ``collect_list(pos)`` aggregation keyed (doc, n, gh) finds
+      duplicated grams (no sort, no join-back); covered word indices
+      and their char sum are then per-(doc, n) ARRAY EXPRESSIONS
+      (``sequence``/``flatten``/``array_distinct``/``aggregate``)
+      against a per-doc word-length array — the r7 shape's
+      one-row-per-covered-index shuffle and its (doc, widx, word)
+      join are gone. Shuffle keys are (doc, n, gh) / (doc) —
+      balanced unless one document is itself executor-sized, which
+      upstream chunking forbids.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(F.col(id_col).alias("_id"), text.alias("_text"))
+    base = spread_input(df, key=id_col).select(
+        F.col(id_col).alias("_id"), text.alias("_text"))
 
     # --- duplicate-line fraction + char fraction -----------------------
     ln = (base.select("_id", F.explode(F.split("_text", "\n", -1))
@@ -229,32 +373,8 @@ def gopher_repetition_stats(df: DataFrame, id_col: str = "doc_id",
         F.sum((F.col("c") - 1) * F.length("k")).alias("_lchars_dup"))
 
     # --- duplicated-n-gram word-character coverage ---------------------
-    occ = (_tagged_ngram_occurrences(base, dup_ngram_ns)
-           .select("_id", "n", "pos", F.xxhash64("gram").alias("gh")))
-    dup_pos = (occ.groupBy("_id", "n", "gh")
-               .agg(F.collect_list("pos").alias("ps"))
-               .where(F.size("ps") >= 2))
-    covered = (dup_pos.select(
-        "_id", "n", F.explode("ps").alias("pos"))
-        .select(
-            "_id", "n",
-            F.explode(F.sequence("pos", F.col("pos") + F.col("n") - 1))
-            .alias("widx"))
-        .distinct())
-    words = (base.select("_id", F.posexplode(
-        F.split(F.trim("_text"), r"\s+")).alias("widx", "word")))
-    total_chars = words.groupBy("_id").agg(
-        F.sum(F.length("word")).alias("_wchars"))
-    cov_chars = (covered.join(words, ["_id", "widx"])
-                 .groupBy("_id", "n")
-                 .agg(F.sum(F.length("word")).alias("_cov")))
-    ng_fracs = (cov_chars.join(total_chars, "_id")
-                .groupBy("_id")
-                .agg(*[F.max(F.when(F.col("n") == n,
-                                    F.round(F.col("_cov") / F.col("_wchars"),
-                                            4)))
-                       .alias(f"dup_ngram_char_frac_{n:02d}")
-                       for n in dup_ngram_ns]))
+    agg = _ngram_signal_agg(base, dup_ngram_ns, ())
+    ng_fracs = _dup_coverage_fracs(agg, base, dup_ngram_ns)
 
     def frac(num: str, den: str) -> Column:
         return (F.when(F.coalesce(F.col(den), F.lit(0)) > 0,
@@ -314,30 +434,67 @@ def gopher_repetition_keepers(df: DataFrame, id_col: str = "doc_id",
     the public reproductions carry). The dup-line / dup-n-gram signals
     need no guard — they are 0 without a repeat by construction.
 
-    Shape: ALL top-n screens share ONE tagged n-gram explode (the same
-    one-scan trick as the dup family — see
-    :func:`_tagged_ngram_occurrences`), one (doc, n, gram) agg, and one
-    per-(doc, n) top-1 window; the family stats add two line aggs and
-    their own tagged explode. The text is scanned 3× total (lines,
-    words, n-grams×2) regardless of how many n-gram sizes are gated —
-    per-n separate screens would scan it once per n. The final combine
-    is per-doc equi-joins on the id — balanced, no skew-prone key."""
+    Shape (r8 — the r7 verdict's item 2 delivered): ALL NINE n-gram
+    sizes (dup n=5..10 + top n=2..4) ride ONE tagged explode over one
+    materialized split, and ONE (doc, n, gh) aggregation serves both
+    the dup-coverage branch and the top-screen branch — the two
+    consumers reference the same :func:`_ngram_signal_agg` DataFrame,
+    so the physical plan reuses the exchange (the r7 shape paid two
+    separate explodes and two shuffles). The top screens aggregate by
+    gram HASH carrying ``min(gram)``, which preserves the oracle's
+    lexicographic tiebreak (per (doc, gh) the gram text is unique
+    modulo 64-bit collisions). The family stats add two line aggs; the
+    final combine is per-doc equi-joins on the id — balanced, no
+    skew-prone key."""
     thresholds = dict(GOPHER_REPETITION_THRESHOLDS if thresholds is None
                       else thresholds)
-    stats = gopher_repetition_stats(df, id_col=id_col, text_col=text_col)
-    joined = stats
     top_ns = tuple(n for n in (2, 3, 4)
                    if f"top_ngram_char_frac_{n}" in thresholds)
     top_cols = {f"top_ngram_char_frac_{n}" for n in top_ns}
+    dup_ns = GOPHER_DUP_NGRAM_NS
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = spread_input(df, key=id_col).select(
+        F.col(id_col).alias("_id"), text.alias("_text"))
+
+    # duplicate-line stats (same two-agg shape as the stats form)
+    ln = (base.select("_id", F.explode(F.split("_text", "\n", -1))
+                      .alias("raw"))
+          .select("_id", F.trim("raw").alias("k"))
+          .where(F.col("k") != ""))
+    per_line = ln.groupBy("_id", "k").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("_id").agg(
+        F.sum("c").alias("_lines_total"),
+        F.sum(F.col("c") - 1).alias("_lines_dup"),
+        F.sum(F.col("c") * F.length("k")).alias("_lchars_total"),
+        F.sum((F.col("c") - 1) * F.length("k")).alias("_lchars_dup"))
+
+    # the ONE shared n-gram aggregation; both branches below read it
+    agg = _ngram_signal_agg(base, dup_ns, top_ns)
+    ng_fracs = _dup_coverage_fracs(agg, base, dup_ns)
+
+    def lfrac(num: str, den: str) -> Column:
+        return (F.when(F.coalesce(F.col(den), F.lit(0)) > 0,
+                       F.round(F.col(num) / F.col(den), 4))
+                .otherwise(F.lit(0.0)))
+    joined = (base.select("_id")
+              .join(line_stats, "_id", "left")
+              .join(ng_fracs, "_id", "left")
+              .select(
+                  "_id",
+                  lfrac("_lines_dup", "_lines_total")
+                  .alias("dup_line_frac"),
+                  lfrac("_lchars_dup", "_lchars_total")
+                  .alias("dup_line_char_frac"),
+                  *[F.coalesce(f"dup_ngram_char_frac_{n:02d}", F.lit(0.0))
+                    .alias(f"dup_ngram_char_frac_{n:02d}")
+                    for n in dup_ns])
+              .withColumnRenamed("_id", id_col))
     if top_ns:
-        base = df.select(F.col(id_col).alias("_id"),
-                         F.col(text_col).alias("_text"))
-        counted = (_tagged_ngram_occurrences(base, top_ns)
-                   .groupBy("_id", "n", "gram")
-                   .agg(F.count("*").alias("cnt")))
+        top_list = [int(n) for n in top_ns]
         w = Window.partitionBy("_id", "n").orderBy(
             F.desc("cnt"), F.asc("gram"))
-        top1 = (counted.withColumn("_rn", F.row_number().over(w))
+        top1 = (agg.where(F.col("n").isin(top_list))
+                .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .join(base.select("_id", F.length("_text").alias("_len")),
                       "_id"))
@@ -389,34 +546,43 @@ def ngram_overlap_stats(docs: DataFrame, ref: DataFrame,
     ``broadcast_ref=False`` degrades to a shuffle equi-join on the
     window hash for reference corpora too big to broadcast — the same
     keys and AQE-skew story as :func:`dedup.dedup_substrings`'s probe.
-    Window hashes are ``xxhash64`` (64-bit): a collision FLAGS a clean
-    doc (never unflags a contaminated one) — conservative in the
-    direction decontamination cares about.
+    Window hashes (r8) are incremental ``xxhash64`` folds over per-word
+    hashes on BOTH sides — the n-word window string is never built
+    (n−1 long-pair hashes replace n−1 string concats plus a hash over
+    ~n·wordlen bytes), and the text splits once per row into a
+    materialized word array instead of once per slice/size site. A
+    64-bit collision FLAGS a clean doc (never unflags a contaminated
+    one) — conservative in the direction decontamination cares about,
+    exactly as the string-keyed hash before it.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
-    def _norm(c: Column) -> Column:
-        return F.lower(F.trim(F.coalesce(c, F.lit(""))))
+    def _whashes(frame: DataFrame, text: str, ids) -> DataFrame:
+        norm = F.lower(F.trim(F.coalesce(F.col(text), F.lit(""))))
+        out = (frame.select(*ids, F.split(norm, r"\s+").alias("_w"))
+               .withColumn("_wh", F.transform(
+                   "_w", lambda w: F.xxhash64(w))))
+        return out.drop("_w")
 
-    ref_h = (ref.select(F.explode(_word_ngrams(_norm(F.col(ref_text_col)),
-                                               n)).alias("gram"))
-             .select(F.xxhash64("gram").alias("gh"))
+    ref_h = (_whashes(spread_input(ref, key=ref_text_col),
+                      ref_text_col, [])
+             .select(F.explode(
+                 _ngram_hashes_from_words(F.col("_wh"), n)).alias("gh"))
              .distinct()
              .withColumn("_hit", F.lit(1)))
     if broadcast_ref:
         ref_h = F.broadcast(ref_h)
-    occ = (docs.select(F.col(id_col).alias("_id"),
-                       F.explode_outer(_word_ngrams(_norm(F.col(text_col)),
-                                                    n)).alias("gram"))
-           # xxhash64(NULL) is NOT null (it hashes the seed) — guard so
-           # a <n-word doc's placeholder row can never match the ref
-           .select("_id", "gram",
-                   F.when(F.col("gram").isNotNull(),
-                          F.xxhash64("gram")).alias("gh")))
+    # explode_outer keeps a null-gh placeholder row for <n-word docs
+    # (the equi-join can never match it — null keys don't join), so the
+    # per-doc agg still emits their zero row
+    occ = (_whashes(spread_input(docs, key=id_col), text_col,
+                    [F.col(id_col).alias("_id")])
+           .select("_id", F.explode_outer(
+               _ngram_hashes_from_words(F.col("_wh"), n)).alias("gh")))
     per = (occ.join(ref_h, "gh", "left")
            .groupBy("_id")
-           .agg(F.count("gram").alias("ngrams_total"),
+           .agg(F.count("gh").alias("ngrams_total"),
                 F.count(F.when(F.col("_hit") == 1, 1))
                 .alias("ngrams_overlapping")))
     frac = (F.when(F.col("ngrams_total") > 0,
