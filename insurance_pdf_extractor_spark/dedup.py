@@ -352,25 +352,30 @@ def connected_components_star(pairs: DataFrame,
     n_edges = edges.count()   # cheap post-checkpoint; carried per round
     for _ in range(max_iter):
         n_iter += 1
-        # large-star over the symmetric view: for each node a with
-        # closed-neighbourhood minimum m(a), connect every neighbour
-        # b > a to m(a). m(a) ≤ a < b keeps orientation (big, small)
-        # and forbids self-loops by construction. Symmetrization is ONE
-        # explode over the checkpointed edges (same shape as label-
-        # prop's edge build), not a self-union — one scan, not two
-        # (VERDICT r6 item 3b).
-        sym = (edges.select(F.explode(F.array(
-            F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
-            F.struct(F.col("v").alias("u"), F.col("u").alias("v"))))
-            .alias("e"))
-            .select("e.u", "e.v"))
-        mn = (sym.groupBy("u")
-              .agg(F.min("v").alias("nb"))
-              .select("u", F.least("u", "nb").alias("m")))
-        large = (sym.where(F.col("v") > F.col("u"))
-                 .join(mn, "u")
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .distinct())
+        # large-star: for each node a with closed-neighbourhood minimum
+        # m(a), connect every neighbour b > a to m(a). m(a) ≤ a < b
+        # keeps orientation (big, small) and forbids self-loops by
+        # construction. r8 diet (replacing the r6 symmetrization
+        # explode): on the canonical (big, small) edge table, a node's
+        # UPWARD neighbours are all strictly larger than it and can
+        # never be the closed-neighbourhood minimum — so
+        # m(a) = least(a, min of a's DOWNWARD neighbours), one agg over
+        # the raw edges (half the rows of the symmetric view, no
+        # explode); nodes with no downward edges miss the agg and
+        # coalesce to themselves. The (a, b>a) pairs the large-star
+        # emits edges for are exactly the reversed edge rows.
+        mn = edges.groupBy("u").agg(F.min("v").alias("nb"))
+        rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        large = (rev.join(mn, "u", "left")
+                 .select(F.col("v").alias("u"),
+                         F.least(F.col("u"), F.coalesce("nb", F.col("u")))
+                         .alias("v")))
+        # No intermediate distinct (r8): duplicates in `large` are
+        # bounded by |edges| (one row per input edge), the mn2 agg
+        # absorbs them, and the round's final distinct collapses the
+        # rest — the dropped distinct was a full extra exchange keyed
+        # (u, v), and removing it lets the mn2 aggregation and the
+        # small-star join share one exchange over the same subtree.
         # small-star over the oriented view: for each node u (all
         # neighbours v < u here), connect u and every non-minimum
         # neighbour to min(N(u)).

@@ -192,6 +192,34 @@ def _hadoop_rm(spark: SparkSession, path: str) -> None:
         pass
 
 
+def _recover_parked_signatures(spark: SparkSession,
+                               output_dir: str) -> bool:
+    """Restore a half-swapped signature compaction (ADVICE r7): when a
+    ``tools/dedup_job.py --compact-signatures`` crashed between its two
+    renames, ``signatures/`` is absent and the whole cross-run history
+    is parked at ``signatures_precompact/``. Any reader that treats
+    that state as "no history" forecloses the job-level recovery (its
+    own guard keys on ``signatures/`` being absent), so the pipeline
+    restores the parked copy itself before reading. Same rename the
+    job's ``_recover_half_swapped`` performs; returns True when it
+    repaired. Errors restoring RAISE — proceeding would silently drop
+    the entire dedup history."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    sig = Path(os.path.join(output_dir, "signatures"))
+    parked = Path(os.path.join(output_dir, "signatures_precompact"))
+    fs = sig.getFileSystem(hconf)
+    if not fs.exists(sig) and fs.exists(parked):
+        if not fs.rename(parked, sig):
+            raise RuntimeError(
+                f"could not restore parked signature history "
+                f"{parked} -> {sig}; refusing to proceed with an "
+                f"empty-looking cross-run dedup store")
+        return True
+    return False
+
+
 _LEDGER_SCHEMA = "run_id string, docs_total_after long"
 
 
@@ -553,7 +581,12 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
         pii_info = None
         if scrub:
             t_sc = time.monotonic()
-            sc = scrub_pii(textv)
+            # localCheckpoint before fanning out (ADVICE r7): the
+            # scrubbed text feeds THREE consumers (this metrics agg,
+            # the docs text-rewrite join, and the minhash signature
+            # build when dedup is on) — unstaged, the full PII
+            # regexp_replace chain re-executes once per consumer
+            sc = scrub_pii(textv).localCheckpoint()
             textv = sc.select("url",
                               F.col("text_scrubbed").alias("text"))
             pii_info = sc.select("url", "pii_counts")
@@ -589,6 +622,15 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
             # against history, and dropped duplicates stay dropped when
             # a resume re-offers them
             sig_table_path = os.path.join(output_dir, "signatures")
+            # half-swapped compaction guard (ADVICE r7): a dedup_job
+            # compaction that crashed between its two renames leaves
+            # signatures/ absent and the full history parked at
+            # signatures_precompact/. Reading "no history" here would
+            # write a fresh delta-only signatures/ — after which the
+            # job-level recovery sees signatures/ present and never
+            # restores, silently stranding the cross-run history
+            # forever. Restore the parked copy before the read.
+            _recover_parked_signatures(spark, output_dir)
             committed_bands = _read_table_if_exists(spark, sig_table_path)
             band_staging_path = os.path.join(output_dir, "_staging",
                                              run_id + "_sig")
@@ -732,6 +774,17 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame,
     textv = fields_df.select("url", "text")
     if quality_min is not None:
         textv = textv.join(docs.select("url"), "url", "left_semi")
+    # Un-pinned chain guard (ADVICE r7): with cache_intermediate=False
+    # and any text-quality stage enabled, the first chain stage's
+    # corpus-wide agg references this projection from ~3 subtrees —
+    # without a barrier the extraction UDF re-executes once per
+    # subtree. A slim (url, text) localCheckpoint is GC-managed (no
+    # cache slot to track) and costs one extraction pass.
+    if cached is None and (paragraph_dedup or substring_dedup
+                           or repetition_filter or scrub
+                           or decontaminate_ref is not None
+                           or dedup is not None):
+        textv = textv.localCheckpoint()
     para_info = None
     if paragraph_dedup:
         pd_res = dedup_paragraphs(

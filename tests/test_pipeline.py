@@ -733,6 +733,41 @@ class TestSignatureStoreMaintenance:
             "url", F.concat("url", F.lit("?c0"))), output_dir=str(out),
             run_id="post", dedup="minhash-lsh")
 
+    def test_pipeline_append_restores_half_swapped_compaction(
+            self, spark, web_pages, tmp_path):
+        """ADVICE r7 (medium): a compaction crash between its two
+        renames parks the whole history at signatures_precompact/ with
+        signatures/ absent. A regular run_pipeline append arriving
+        BEFORE the next dedup_job invocation must restore the parked
+        copy — otherwise it writes a fresh delta-only signatures/ and
+        the job-level recovery (keyed on signatures/ being absent)
+        never fires, stranding the cross-run history forever."""
+        import shutil
+        from insurance_pdf_extractor_spark.pipeline import run_pipeline
+        from pyspark.sql import functions as F
+        out = tmp_path / "out"
+        base = web_pages.limit(8)
+        run_pipeline(spark, base, output_dir=str(out), run_id="h1",
+                     dedup="minhash-lsh")
+        sig = os.path.join(str(out), "signatures")
+        parked = os.path.join(str(out), "signatures_precompact")
+        hist = spark.read.parquet(sig).count()
+        shutil.move(sig, parked)               # simulate the mid-swap crash
+        # a plain append (disjoint urls) must first restore the history
+        delta = base.withColumn("url", F.concat("url", F.lit("?hs")))
+        run_pipeline(spark, delta, output_dir=str(out), run_id="h2",
+                     dedup="minhash-lsh")
+        assert not os.path.exists(parked)      # restored, not stranded
+        assert spark.read.parquet(sig).count() > hist  # history + delta
+        # and the restored history still serves the cross-run probe:
+        # near-dups of run-1 docs drop on a third run
+        twins = base.withColumn("url", F.concat("url", F.lit("?tw")))
+        r = run_pipeline(spark, twins, output_dir=str(out), run_id="h3",
+                         dedup="minhash-lsh")
+        kept = {row["url"] for row in r.docs.select("url").collect()
+                if row["url"].endswith("?tw")}
+        assert kept == set()
+
     def test_backfill_makes_predup_history_visible(self, spark,
                                                    web_pages, tmp_path):
         """A doc committed by a NON-dedup run must, after
