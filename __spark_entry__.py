@@ -617,6 +617,9 @@ def q_ann_bruteforce(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"))
+    # guide §2.5: the per-row cosine fold runs on the scan side of the
+    # broadcast join — spread a single-split embeddings file over cores
+    emb = spread_input(emb, key="vec_id")
     return (emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
             .select("vec_id",
                     F.round(_cosine(F.col("embedding"), F.col("q_emb")), 4)
@@ -629,6 +632,7 @@ def q_ann_ivf_bucketed(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("label").alias("q_label"))
+    emb = spread_input(emb, key="vec_id")   # guide §2.5, as bruteforce
     return (emb.where(F.col("vec_id") != 0).join(
                 F.broadcast(q), F.col("label") == F.col("q_label"))
             .select("vec_id", "label",
@@ -638,7 +642,8 @@ def q_ann_ivf_bucketed(spark, sf):
 
 
 def q_embedding_bucket_stats(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    # guide §2.5: the per-row norm fold is map-side work before the agg
+    emb = spread_input(_t(spark, sf, "embeddings"), key="vec_id")
     return (emb.groupBy("label")
             .agg(F.count("*").alias("n"),
                  F.round(F.avg(F.element_at("embedding", 1)

@@ -629,11 +629,11 @@ def dedup_substrings(df: DataFrame, id_col: str = "doc_id",
     counts maximal contiguous removed ranges.
 
     Shape at scale — every step keyed and bounded, nothing quadratic:
-    1. One posexplode of the tagged k-gram windows per consumer
-       (aligned-slice ``zip_with`` over one split — see
-       :func:`shingles` for why not ``element_at``); occurrences
-       immediately project ``xxhash64(gram)`` so the k-word strings
-       never enter a shuffle.
+    1. One posexplode of the k-gram window HASHES per consumer: the
+       text splits once into a materialized word array, per-word
+       ``xxhash64``\\ s fold pairwise into window hashes (r8 — the
+       k-word strings are never built at all, let alone shuffled; see
+       :func:`scrub._ngram_hashes_from_words`).
     2. ONE corpus-wide (gram_hash) count agg — partial map-side combine
        absorbs hot boilerplate windows (a banner in 10^9 docs reaches
        the reducer as one partial per map task). A per-key position
@@ -670,7 +670,7 @@ def dedup_substrings(df: DataFrame, id_col: str = "doc_id",
     base = spread_input(df, key=id_col).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # words: 0-based widx aligned with the 0-based window positions of
-    # _word_ngrams (both index the same split of trim(_text) on \s+).
+    # the hash windows (both index the same split of trim(_text) on \s+).
     # Null text splits to null (posexplode drops the row); whitespace-
     # only text would split to [""] — mask it to an empty array so the
     # phantom empty word neither counts nor joins.

@@ -30,6 +30,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cluster_by(df: DataFrame, key: str, target: int | None = None
+               ) -> DataFrame:
+    """Hash-partition ``df`` by ``key`` with an EXPLICIT partition count
+    (so AQE keeps the layout instead of coalescing a small exchange to
+    one partition): every downstream aggregation, window, or join whose
+    keys INCLUDE ``key`` then satisfies its required distribution and
+    plans with ZERO further exchanges (guide §2.4 — two operations keyed
+    the same way share one exchange; HashPartitioning on a subset of
+    the clustering keys satisfies ClusteredDistribution).
+
+    The economics for text operators: per-doc n-gram/shingle/token
+    occurrence rows are 4–40× the size of the text they derive from, so
+    shuffling the TEXT once by doc id and running every per-doc
+    aggregation partition-locally moves far fewer bytes than letting
+    each aggregation shuffle its occurrence rows — at any scale, not
+    just the bench's. Partition count: max(defaultParallelism,
+    spark.sql.shuffle.partitions, current partitions when cheaply
+    knowable) — never fewer partitions than the input already has.
+    """
+    spark = df.sparkSession
+    n = target
+    if n is None:
+        try:
+            shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            shuffle_p = 0
+        n = max(spark.sparkContext.defaultParallelism, shuffle_p)
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "Exchange" not in plan:   # .rdd is safe: nothing to run
+                n = max(n, df.rdd.getNumPartitions())
+        except Exception:
+            pass
+    return df.repartition(n, F.col(key))
+
+
 def spread_input(df: DataFrame, key: str | None = None,
                  target: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: defaultParallelism)
