@@ -494,7 +494,8 @@ from insurance_pdf_extractor_spark.dedup import (  # noqa: E402
     lsh_band_overflow, lsh_pairs_from_signatures,
     minhash_signatures_from_docs, shingles as _shingles,
     shingles_from_words as _shingles_from_words)
-from insurance_pdf_extractor_spark.parallel import spread_input  # noqa: E402
+from insurance_pdf_extractor_spark.parallel import (  # noqa: E402
+    cluster_by, spread_input)
 
 SHINGLE_DF_CAP = 20     # shingles in > cap docs are stop-phrases: drop
                         # BEFORE the join (hot-key quadratic blowup at scale)
@@ -570,7 +571,10 @@ def simhash64_from_docs(docs: DataFrame) -> DataFrame:
     fingerprint — BIGINT would overflow at bit 63): 64 bit-votes from
     two md5s per distinct token. One definition shared by the registry
     query and the bench's full-corpus signature staging."""
-    w = spread_input(docs, key="doc_id").select(
+    # cluster_by: the 64-vote aggregation below is keyed by doc_id —
+    # with the text hash-partitioned by id it plans without shuffling
+    # the per-word vote rows (~12× the text bytes)
+    w = cluster_by(docs, "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
     w = (w.withColumn("h1", F.md5(F.col("w")))

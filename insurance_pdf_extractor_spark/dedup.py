@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .parallel import spread_input
+from .parallel import cluster_by, spread_input
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding core (the signature/candidate stages the registry,
@@ -105,9 +105,11 @@ def minhash_signatures_from_docs(docs: DataFrame,
     signature stage — the oracle query, the pipeline dedup stage, and
     tools/dedup_job.py all call it (code-review r3: a silently-diverging
     copy defeats the gate)."""
-    # guide §2.5: a single-file input must not serialize the per-shingle
-    # md5 work onto one scan task; no-op when the scan supplies >= cores
-    docs = spread_input(docs, key="doc_id")
+    # cluster_by (guide §2.4/§2.5): hash-partition the TEXT by doc id so
+    # the signature aggregation below plans WITHOUT an exchange — the
+    # (doc_id, ha, hb) shingle rows it would otherwise shuffle are ~4×
+    # the text bytes; this also spreads a single-split input over cores
+    docs = cluster_by(docs, "doc_id")
     # split once per row (a materialized Project the explode references)
     # — shingles()' n slices + size guards would otherwise re-split the
     # document ~5x per row, since HOF expressions are CodegenFallback
@@ -560,7 +562,12 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     bytes — the plan shape is unchanged. Whitespace-only paragraphs are
     never counted as duplicates (they are formatting, not content).
     """
-    base = spread_input(df, key=id_col).select(
+    # cluster_by: the posexplode'd (pos, para) rows and the per-doc
+    # re-assembly collect_list are both keyed by the doc id — with the
+    # text hash-partitioned by id, the totals and rebuild aggregations
+    # plan without an exchange (only the corpus-wide hot-paragraph agg
+    # and its anti-join still shuffle, and those are the semantics)
+    base = cluster_by(df, id_col).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # ``sep`` is a LITERAL separator on both ends of the round trip:
     # F.split takes a Java regex, so quote it (\Q…\E, with embedded \E
@@ -667,7 +674,10 @@ def dedup_substrings(df: DataFrame, id_col: str = "doc_id",
     from insurance_pdf_extractor_spark.scrub import (
         _ngram_hashes_from_words)
 
-    base = spread_input(df, key=id_col).select(
+    # cluster_by: words / totals / rebuild / span-window are id-keyed —
+    # partition-local once the text is hash-partitioned by id (the
+    # corpus-wide window count agg + probe join keep their gh shuffles)
+    base = cluster_by(df, id_col).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # words: 0-based widx aligned with the 0-based window positions of
     # the hash windows (both index the same split of trim(_text) on \s+).

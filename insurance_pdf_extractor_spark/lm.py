@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .parallel import spread_input
+from .parallel import cluster_by, spread_input
 
 #: tokens = non-empty runs between whitespace of the lowercased text —
 #: the same \s+ split every other text operator uses, lowercased so
@@ -33,11 +33,16 @@ from .parallel import spread_input
 _TOKEN_SPLIT = r"\s+"
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens(df: DataFrame, id_col: str, text_col: str,
+            cluster: bool = False) -> DataFrame:
     """(_id, tok) one row per token occurrence; empty/null text yields
     no rows (callers left-join totals back). Guide §2.5: the tokenize
-    explode must not serialize onto a single-split scan."""
-    df = spread_input(df, key=id_col)
+    explode must not serialize onto a single-split scan. ``cluster``:
+    hash-partition the TEXT by doc id first so an id-keyed consumer
+    (the per-doc scoring agg) plans without shuffling the token rows —
+    which are ~2× the text bytes; leave False for corpus-keyed
+    consumers (the fit's token agg shuffles by token regardless)."""
+    df = cluster_by(df, id_col) if cluster else spread_input(df, key=id_col)
     return (df.select(F.col(id_col).alias("_id"),
                       F.explode(F.split(F.lower(F.trim(F.coalesce(
                           F.col(text_col), F.lit("")))), _TOKEN_SPLIT))
@@ -88,7 +93,7 @@ def unigram_doc_scores(docs: DataFrame, model: DataFrame,
     """
     totals = model.agg(F.sum("cnt").alias("_n"),
                        F.count("*").alias("_v"))
-    toks = _tokens(docs, id_col, text_col)
+    toks = _tokens(docs, id_col, text_col, cluster=True)
     lp = F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
                / (F.col("_n") + F.col("_v") + F.lit(1.0)))
     per = (toks.join(F.broadcast(model), "tok", "left")

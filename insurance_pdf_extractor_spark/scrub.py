@@ -140,7 +140,7 @@ def repeated_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     itself 100 GB, which upstream chunking forbids. Docs with fewer
     than ``n`` words return (null, 0, 0.0).
     """
-    grams = (spread_input(df, key=id_col)
+    grams = (cluster_by(df, id_col)
              .select(F.col(id_col).alias("_id"),
                      F.length(text_col).alias("_len"),
                      F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"))
@@ -575,8 +575,12 @@ def ngram_overlap_stats(docs: DataFrame, ref: DataFrame,
         ref_h = F.broadcast(ref_h)
     # explode_outer keeps a null-gh placeholder row for <n-word docs
     # (the equi-join can never match it — null keys don't join), so the
-    # per-doc agg still emits their zero row
-    occ = (_whashes(spread_input(docs, key=id_col), text_col,
+    # per-doc agg still emits their zero row. cluster_by: with the text
+    # hash-partitioned by id, the broadcast join preserves the layout
+    # and the per-doc agg plans WITHOUT shuffling the window-hash rows
+    # (which are ~2-4× the text bytes) — the broadcast path then has
+    # exactly ONE exchange: the text itself
+    occ = (_whashes(cluster_by(docs, id_col), text_col,
                     [F.col(id_col).alias("_id")])
            .select("_id", F.explode_outer(
                _ngram_hashes_from_words(F.col("_wh"), n)).alias("gh")))
