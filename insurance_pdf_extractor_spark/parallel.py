@@ -87,7 +87,15 @@ def spread_input(df: DataFrame, key: str | None = None,
         return df
     sc = df.sparkSession.sparkContext
     if target is None:
-        target = sc.defaultParallelism
+        # same count rule as cluster_by: a spread side that later joins
+        # a clustered side must come out co-partitioned, not trigger an
+        # ENSURE_REQUIREMENTS re-exchange on the smaller count
+        try:
+            shuffle_p = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except Exception:
+            shuffle_p = 0
+        target = max(sc.defaultParallelism, shuffle_p)
     try:
         n = df.rdd.getNumPartitions()
     except Exception:

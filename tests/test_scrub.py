@@ -250,11 +250,18 @@ class TestGopherRepetitionStats:
         """r8: every Gopher line/dup signal is per-document, so the
         whole screen must plan as a narrow per-row projection — no
         explode (the r7 shape scanned the text through a tagged
-        Generate) and no shuffle at all (the r7 shape aggregated
-        corpus-wide occurrence rows ~40× the text bytes)."""
+        Generate) and no computed shuffle (the r7 shape aggregated
+        corpus-wide occurrence rows ~40× the text bytes). The only
+        exchange permitted is the input-spread repartition of the raw
+        (id, text) rows, which EnsureRequirements never inserts —
+        anything it does insert means an agg/join/window snuck back."""
         plan = _plan(stats[1])
         assert "Generate" not in plan, plan
-        assert "Exchange" not in plan, plan
+        assert "ENSURE_REQUIREMENTS" not in plan, plan
+        import re
+        n_exchanges = len(re.findall(r"\+- Exchange", plan))
+        n_spreads = plan.count("REPARTITION_BY_NUM")
+        assert n_exchanges == n_spreads, plan
 
     def test_keepers_single_text_exchange(self, spark):
         """r8: the keepers' only exchange is the cluster_by of the TEXT
